@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+All knobs are chosen for the 100 TB design point and merely *scaled
+down* for local testing:
+
+  * AQE on (runtime re-plan, skew-join splitting) — SURVEY.md §4 O9.
+  * shuffle partitions proportional to cores (reference batches work
+    per thread; we batch per partition) — SURVEY.md §4 O4.
+  * session timezone pinned to UTC so event-time window semantics are
+    identical everywhere (and identical to the DuckDB oracle).
+  * Arrow enabled for the pandas-UDF regex batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "sagan_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # cores x 2: enough parallelism for AQE to coalesce down, not so many
+    # that task overhead dominates at local scale.  On a real cluster this
+    # would be cores x (2-4) across executors.
+    if shuffle_partitions is None:
+        try:
+            n = int(master.split("[")[1].rstrip("]*")) if "[" in master else cpus
+        except ValueError:
+            n = cpus
+        shuffle_partitions = max(8, n * 2)
+
+    return (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
