@@ -120,6 +120,7 @@ def load_pages(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
         ).alias("html"),
         text.alias("text"),
         F.col("lang").alias("lang"),
+        F.col("source").alias("source"),
         doc_id.alias("doc_id"),
         rep_c.alias("rep"),
     )
@@ -143,6 +144,7 @@ SELECT
     || CASE WHEN d.doc_id % 2 = 0 THEN ' {{"svc": "s' || (d.doc_id % 7) || '", "code": ' || ((d.doc_id % 9) * 100) || '}}' ELSE '' END
     AS text,
   d.lang,
+  d.source,
   d.doc_id,
   r.rep
 FROM documents d
@@ -161,3 +163,22 @@ CROSS JOIN LATERAL (
 def pages_with(rep: int = REP) -> str:
     """``WITH pages AS (...)`` prefix for oracle SQL strings."""
     return f"WITH pages AS (\n{pages_cte(rep)}\n)"
+
+
+def pages_table(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
+    """Materialized pages table (process-cached parquet under /tmp).
+
+    Production reads pages from an Iceberg table; the synthesized
+    frame's expression tree would otherwise be re-inlined into every
+    downstream operator (each rule condition references `text`), which
+    both bloats codegen and re-executes the synthesis — materializing
+    once is exactly what the real scan gives us for free."""
+    import hashlib
+    import os
+
+    key = hashlib.md5(f"{sf_dir}|{rep}|v2".encode()).hexdigest()[:12]
+    path = f"/tmp/sagan_pages_cache/{key}"
+    marker = f"{path}/_SUCCESS"
+    if not os.path.exists(marker):
+        load_pages(spark, sf_dir, rep).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -13,7 +13,7 @@ from .conftest import SF_DIR
 def test_pages_text_byte_identical_per_url(spark, duck):
     sdf = (
         load_pages(spark, SF_DIR, rep=4)
-        .select("url", "domain", "warc_epoch", "text", "lang")
+        .select("url", "domain", "warc_epoch", "text", "lang", "source")
         .toPandas()
         .sort_values("url")
         .reset_index(drop=True)
@@ -21,13 +21,13 @@ def test_pages_text_byte_identical_per_url(spark, duck):
     ddf = (
         duck.execute(
             pages_with(rep=4)
-            + " SELECT url, domain, warc_epoch, text, lang FROM pages ORDER BY url"
+            + " SELECT url, domain, warc_epoch, text, lang, source FROM pages ORDER BY url"
         )
         .fetchdf()
         .reset_index(drop=True)
     )
     assert len(sdf) == len(ddf) and len(sdf) > 0
-    for col in ["url", "domain", "warc_epoch", "text", "lang"]:
+    for col in ["url", "domain", "warc_epoch", "text", "lang", "source"]:
         mism = (sdf[col].astype(str) != ddf[col].astype(str))
         assert not mism.any(), (
             col,
