@@ -1,0 +1,159 @@
+"""Enrichment joins — GeoIP country lookup, classification→priority,
+country_code gate (SURVEY.md §2.5 E1-E3; [U] upstream src/geoip.c,
+src/classifications.c).
+
+GeoIP at scale (§4 O8): a naive range join against an overlapping-CIDR
+table becomes a BroadcastNestedLoopJoin (O(rows × ranges)) and
+longest-prefix needs a per-row window (a shuffle).  Both are avoided by
+preprocessing the dimension ONCE on the driver:
+
+  1. **Flatten** overlapping CIDRs into disjoint intervals, resolving
+     longest-prefix-wins during the sweep (nested /24 beats its /16).
+  2. **Expand** each disjoint interval to the /16 buckets it covers.
+
+The runtime join is then a plain **broadcast hash equi-join** on
+``ip >> 16`` plus a residual range filter — O(1) per probe, no window,
+no shuffle, and each IP matches at most one row.  The DuckDB oracle
+deliberately takes the *other* route (overlapping ranges + row_number
+by prefix length) so the flattening itself is verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def flatten_ranges(
+    rows: list[tuple[int, int, int, str]],
+) -> list[tuple[int, int, str]]:
+    """(start, end, prefix_len, cc) overlapping → disjoint (start, end, cc),
+    longest prefix wins on overlap."""
+    bounds = sorted({b for s, e, _, _ in rows for b in (s, e + 1)})
+    out: list[tuple[int, int, str]] = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        best = None
+        for s, e, plen, cc in rows:
+            if s <= lo and hi - 1 <= e and (best is None or plen > best[0]):
+                best = (plen, cc)
+        if best is not None:
+            if out and out[-1][1] == lo - 1 and out[-1][2] == best[1]:
+                out[-1] = (out[-1][0], hi - 1, best[1])
+            else:
+                out.append((lo, hi - 1, best[1]))
+    return out
+
+
+def bucketed_geo_rows(
+    rows: list[tuple[int, int, int, str]],
+) -> list[tuple[int, int, int, str]]:
+    """Disjoint intervals × the /16 buckets they touch →
+    (bucket, net_start, net_end, cc)."""
+    out = []
+    for s, e, cc in flatten_ranges(rows):
+        for b in range(s >> 16, (e >> 16) + 1):
+            out.append((b, s, e, cc))
+    return out
+
+
+def geo_dim_df(spark: SparkSession, rows: list[tuple[int, int, int, str]]) -> DataFrame:
+    return spark.createDataFrame(
+        bucketed_geo_rows(rows),
+        schema="bucket long, net_start long, net_end long, cc string",
+    )
+
+
+def ip_to_long_col(ip_col: str) -> Column:
+    p = F.split(F.col(ip_col), r"\.")
+    return (
+        p[0].cast("long") * 16777216
+        + p[1].cast("long") * 65536
+        + p[2].cast("long") * 256
+        + p[3].cast("long")
+    )
+
+
+def ip_to_long_sql(ip: str) -> str:
+    """DuckDB twin of :func:`ip_to_long_col` (string_split is 1-based)."""
+    return (
+        f"(string_split({ip}, '.')[1]::BIGINT * 16777216 + "
+        f"string_split({ip}, '.')[2]::BIGINT * 65536 + "
+        f"string_split({ip}, '.')[3]::BIGINT * 256 + "
+        f"string_split({ip}, '.')[4]::BIGINT)"
+    )
+
+
+def with_geo(df: DataFrame, geo: DataFrame, ip_col: str, out_cc: str) -> DataFrame:
+    """Broadcast bucketed-equi geo join (disjoint dim ⇒ ≤1 match/row)."""
+    ip_long = ip_to_long_col(ip_col)
+    g = geo.select(
+        F.col("bucket").alias(f"_b_{out_cc}"),
+        F.col("net_start").alias(f"_s_{out_cc}"),
+        F.col("net_end").alias(f"_e_{out_cc}"),
+        F.col("cc").alias(out_cc),
+    )
+    df = df.withColumn(f"_ipl_{out_cc}", ip_long)
+    joined = df.join(
+        F.broadcast(g),
+        (F.col(f"_ipl_{out_cc}") >= F.col(f"_s_{out_cc}"))
+        & (F.col(f"_ipl_{out_cc}") <= F.col(f"_e_{out_cc}"))
+        & (F.shiftright(F.col(f"_ipl_{out_cc}"), 16) == F.col(f"_b_{out_cc}")),
+        "left",
+    )
+    return joined.drop(f"_b_{out_cc}", f"_s_{out_cc}", f"_e_{out_cc}", f"_ipl_{out_cc}")
+
+
+def geo_sql(ip: str, out_cc: str, geo_values: str) -> str:
+    """DuckDB lateral twin: overlapping ranges + longest-prefix-wins via
+    ORDER BY prefix_len DESC LIMIT 1 — independently verifies the
+    driver-side flattening."""
+    ipl = ip_to_long_sql(ip)
+    return (
+        f"(SELECT cc FROM {geo_values} "
+        f"WHERE {ipl} >= geo.net_start AND {ipl} <= geo.net_end "
+        f"ORDER BY geo.prefix_len DESC LIMIT 1) AS {out_cc}"
+    )
+
+
+def with_classification(df: DataFrame, cls: DataFrame) -> DataFrame:
+    """classtype → (priority, description); broadcast equi-join (E2)."""
+    return df.join(F.broadcast(cls), "classtype", "left")
+
+
+def country_gate(df: DataFrame) -> DataFrame:
+    """Apply the per-rule country_code is/isnot predicate (E1 gate).
+    Unknown country is '--' (never in a fixture list), so `is` fails and
+    `isnot` passes for unresolved IPs — matching the reference's
+    'no GeoIP record' path ([U] src/geoip.c)."""
+    cc = F.coalesce(
+        F.when(F.col("country_track") == "by_src", F.col("src_cc")).otherwise(
+            F.col("dst_cc")
+        ),
+        F.lit("--"),
+    )
+    keep = (
+        F.col("country_track").isNull()
+        | (
+            (
+                (F.size("country_is") == 0)
+                | F.array_contains("country_is", cc)
+            )
+            & (
+                (F.size("country_isnot") == 0)
+                | ~F.array_contains("country_isnot", cc)
+            )
+        )
+    )
+    return df.where(keep)
+
+
+def country_gate_sql() -> str:
+    """DuckDB WHERE twin of :func:`country_gate`."""
+    cc = (
+        "coalesce(CASE WHEN country_track = 'by_src' THEN src_cc ELSE dst_cc END, '--')"
+    )
+    return (
+        "(country_track IS NULL OR ("
+        f"(len(country_is) = 0 OR list_contains(country_is, {cc})) AND "
+        f"(len(country_isnot) = 0 OR NOT list_contains(country_isnot, {cc}))))"
+    )

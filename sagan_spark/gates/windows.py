@@ -1,0 +1,226 @@
+"""after / threshold suppression as keyed window aggregates
+(SURVEY.md §2.6 A1-A3; [U] upstream engine.c + mmap counters).
+
+Semantics (ours, fixture-defining — upstream ships no tests):
+
+  * ``after count N seconds S``  — fire only when the rolling count of
+    events with the same (sid, key) in the last S seconds (boundary
+    inclusive: an event exactly S old still counts — mmap counter
+    resets only when ``now - old > S``) exceeds N.
+  * ``threshold type limit``     — keep the first N events per
+    (sid, key) per **tumbling** S-second window aligned to the epoch
+    (deterministic, shuffle-friendly re-expression of the reference's
+    first-event-anchored window; divergence documented SURVEY.md §7).
+  * ``threshold type suppress``  — keep while the rolling-S count ≤ N.
+  * ``threshold type threshold`` — keep every N-th event (rolling
+    count % N == 0).
+
+Scale notes: one Window pass per *distinct* S value, all partitioned by
+(sid, key) — Catalyst reuses a single exchange for same-partitioning
+specs, so rule count does not multiply shuffles.  Total order for
+row_number is (warc_epoch, url): (url, sid) rows are unique, so ties
+are impossible.  Hot keys (Zipf domains) are bounded per (sid, key,
+window) and AQE handles residual skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sagan_spark.rules.model import Rule
+
+TRACK_CASE = {
+    "by_src": "src_ip",
+    "by_dst": "dst_ip",
+    "by_username": "source",
+    "ip_pair": None,  # concat handled specially
+}
+
+
+def track_key_col(track_col: str) -> Column:
+    t = F.col(track_col)
+    return (
+        F.when(t == "by_src", F.col("src_ip"))
+        .when(t == "by_dst", F.col("dst_ip"))
+        .when(t == "by_username", F.col("source"))
+        .when(t == "ip_pair", F.concat_ws(">", "src_ip", "dst_ip"))
+        .otherwise(F.col("domain"))  # by_domain / by_string
+    )
+
+
+def track_key_sql(track_expr: str, prefix: str = "") -> str:
+    p = prefix
+    return (
+        f"CASE {track_expr} WHEN 'by_src' THEN {p}src_ip WHEN 'by_dst' THEN {p}dst_ip "
+        f"WHEN 'by_username' THEN {p}source "
+        f"WHEN 'ip_pair' THEN concat({p}src_ip, '>', {p}dst_ip) "
+        f"ELSE {p}domain END"
+    )
+
+
+def gates_cfg_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
+    rows = [
+        (
+            r.sid,
+            r.after.track if r.after else None,
+            r.after.count if r.after else None,
+            r.after.seconds if r.after else None,
+            r.threshold.ttype if r.threshold else None,
+            r.threshold.track if r.threshold else None,
+            r.threshold.count if r.threshold else None,
+            r.threshold.seconds if r.threshold else None,
+        )
+        for r in rules
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "sid long, after_track string, after_count int, after_seconds int, "
+            "th_type string, th_track string, th_count int, th_seconds int"
+        ),
+    )
+
+
+def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> DataFrame:
+    """df = exploded+extracted hits.  Returns rows surviving after/
+    threshold gates.  One Window spec per distinct S, shared (sid, key)
+    partitioning."""
+    df = df.join(F.broadcast(cfg), "sid", "left")
+    df = df.withColumn("after_key", track_key_col("after_track")).withColumn(
+        "th_key", track_key_col("th_track")
+    )
+
+    after_secs = sorted({r.after.seconds for r in rules if r.after})
+    keep = F.lit(True)
+    for s in after_secs:
+        w = (
+            Window.partitionBy("sid", "after_key")
+            .orderBy("warc_epoch")
+            .rangeBetween(-s, 0)
+        )
+        cnt = F.count(F.lit(1)).over(w)
+        keep = keep & F.when(
+            (F.col("after_seconds") == s), cnt > F.col("after_count")
+        ).otherwise(F.lit(True))
+
+    roll_secs = sorted(
+        {
+            r.threshold.seconds
+            for r in rules
+            if r.threshold and r.threshold.ttype in ("suppress", "threshold")
+        }
+    )
+    for s in roll_secs:
+        w = (
+            Window.partitionBy("sid", "th_key").orderBy("warc_epoch").rangeBetween(-s, 0)
+        )
+        cnt = F.count(F.lit(1)).over(w)
+        keep = keep & (
+            F.when(
+                (F.col("th_seconds") == s) & (F.col("th_type") == "suppress"),
+                cnt <= F.col("th_count"),
+            )
+            .when(
+                (F.col("th_seconds") == s) & (F.col("th_type") == "threshold"),
+                cnt % F.col("th_count") == 0,
+            )
+            .otherwise(F.lit(True))
+        )
+
+    limit_secs = sorted(
+        {r.threshold.seconds for r in rules if r.threshold and r.threshold.ttype == "limit"}
+    )
+    for s in limit_secs:
+        win_id = F.floor(F.col("warc_epoch") / s)
+        w = Window.partitionBy("sid", "th_key", win_id).orderBy("warc_epoch", "url")
+        rn = F.row_number().over(w)
+        keep = keep & F.when(
+            (F.col("th_seconds") == s) & (F.col("th_type") == "limit"),
+            rn <= F.col("th_count"),
+        ).otherwise(F.lit(True))
+
+    # window functions can't live in a WHERE clause — project then filter
+    return df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")
+
+
+def window_gates_sql(rules: list[Rule], rel: str = "enriched") -> str:
+    """DuckDB twin: same window computations over the enriched CTE.
+    Emits ``SELECT * ... QUALIFY <keep>`` text."""
+    after_secs = sorted({r.after.seconds for r in rules if r.after})
+    roll_secs = sorted(
+        {
+            r.threshold.seconds
+            for r in rules
+            if r.threshold and r.threshold.ttype in ("suppress", "threshold")
+        }
+    )
+    limit_secs = sorted(
+        {r.threshold.seconds for r in rules if r.threshold and r.threshold.ttype == "limit"}
+    )
+
+    ak = track_key_sql("after_track")
+    tk = track_key_sql("th_track")
+    conds = []
+    for s in after_secs:
+        cnt = (
+            f"count(*) OVER (PARTITION BY sid, {ak} ORDER BY warc_epoch "
+            f"RANGE BETWEEN {s} PRECEDING AND CURRENT ROW)"
+        )
+        conds.append(
+            f"(after_seconds IS DISTINCT FROM {s} OR {cnt} > after_count)"
+        )
+    for s in roll_secs:
+        cnt = (
+            f"count(*) OVER (PARTITION BY sid, {tk} ORDER BY warc_epoch "
+            f"RANGE BETWEEN {s} PRECEDING AND CURRENT ROW)"
+        )
+        conds.append(
+            f"(th_seconds IS DISTINCT FROM {s} OR th_type <> 'suppress' OR {cnt} <= th_count)"
+        )
+        conds.append(
+            f"(th_seconds IS DISTINCT FROM {s} OR th_type <> 'threshold' OR {cnt} % th_count = 0)"
+        )
+    for s in limit_secs:
+        rn = (
+            f"row_number() OVER (PARTITION BY sid, {tk}, (warc_epoch // {s}) "
+            f"ORDER BY warc_epoch, url)"
+        )
+        conds.append(
+            f"(th_seconds IS DISTINCT FROM {s} OR th_type <> 'limit' OR {rn} <= th_count)"
+        )
+
+    qualify = " AND ".join(conds) if conds else "TRUE"
+    return f"SELECT * FROM {rel} QUALIFY {qualify}"
+
+
+def gates_cfg_values_sql(rules: list[Rule]) -> str:
+    def lit(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return f"'{v}'"
+
+    rows = ", ".join(
+        "("
+        + ", ".join(
+            lit(v)
+            for v in (
+                r.sid,
+                r.after.track if r.after else None,
+                r.after.count if r.after else None,
+                r.after.seconds if r.after else None,
+                r.threshold.ttype if r.threshold else None,
+                r.threshold.track if r.threshold else None,
+                r.threshold.count if r.threshold else None,
+                r.threshold.seconds if r.threshold else None,
+            )
+        )
+        + ")"
+        for r in rules
+    )
+    return (
+        f"(VALUES {rows}) AS gcfg(sid, after_track, after_count, after_seconds, "
+        "th_type, th_track, th_count, th_seconds)"
+    )

@@ -1,0 +1,143 @@
+"""The flagship parse → match → extract → enrich → gate → route →
+aggregate pipeline (SURVEY.md §3.2), assembled from the per-stage
+modules.  One declarative DataFrame plan end-to-end: Catalyst sees the
+whole thing (filter pushdown into the scan, broadcast joins for every
+dimension, shared exchanges for the window gates — §4).
+
+Stage order (defines the golden semantics; [U] engine.c hot path):
+  match (M1-M8) → shared extracts (X1-X4, pre-explode) → explode to
+  (page, sid) → per-rule extraction config → GeoIP + classification
+  (E1-E3) → country gate → after/threshold windows (A1-A3) → xbit
+  join-back (A4-A5) → sink routing (K7) → per-sink counts (A8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sagan_spark.enrich.enrich import (
+    country_gate,
+    geo_dim_df,
+    with_classification,
+    with_geo,
+)
+from sagan_spark.gates.windows import apply_window_gates, gates_cfg_df
+from sagan_spark.gates.xbits import apply_bit_tests
+from sagan_spark.parse.extract import (
+    apply_rule_extraction,
+    rule_config_df,
+    with_shared_extracts,
+)
+from sagan_spark.rules.compiler import CompiledRules
+from sagan_spark.rules.fixture_rules import (
+    CLASSIFICATIONS,
+    PROGRAM_PROTO,
+    fixture_rules,
+    geo_rows,
+)
+from sagan_spark.rules.model import Rule
+
+
+def classification_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        CLASSIFICATIONS, schema="classtype string, description string, priority int"
+    )
+
+
+def proto_map_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(PROGRAM_PROTO, schema="source string, proto string")
+
+
+class Pipeline:
+    """Compiled end-to-end pipeline for a ruleset."""
+
+    def __init__(self, spark: SparkSession, rules: list[Rule] | None = None):
+        self.spark = spark
+        self.rules = list(rules) if rules is not None else list(fixture_rules())
+        self.comp = CompiledRules(self.rules)
+        self.cfg = rule_config_df(spark, self.rules)
+        self.gcfg = gates_cfg_df(spark, self.rules)
+        self.cls = classification_df(spark)
+        self.geo = geo_dim_df(spark, geo_rows())
+        self.pmap = proto_map_df(spark)
+
+    # --- stages -----------------------------------------------------------
+    def matched(self, pages: DataFrame) -> DataFrame:
+        m = self.comp.with_sids(pages).where(F.size("sids") > 0)
+        return with_shared_extracts(m)
+
+    def hits(self, pages: DataFrame) -> DataFrame:
+        return (
+            self.matched(pages)
+            .withColumn("sid", F.explode("sids"))
+            .drop("sids", "html", "doc_id", "rep", "warc_ts")
+        )
+
+    def extracted(self, pages: DataFrame) -> DataFrame:
+        return apply_rule_extraction(self.hits(pages), self.cfg, self.pmap)
+
+    def enriched(self, pages: DataFrame) -> DataFrame:
+        df = self.extracted(pages)
+        df = with_geo(df, self.geo, "src_ip", "src_cc")
+        df = with_geo(df, self.geo, "dst_ip", "dst_cc")
+        df = with_classification(df, self.cls)
+        return country_gate(df)
+
+    def window_gated(self, pages: DataFrame) -> DataFrame:
+        return apply_window_gates(self.enriched(pages), self.gcfg, self.rules)
+
+    def gated(self, pages: DataFrame) -> DataFrame:
+        return apply_bit_tests(self.window_gated(pages), self.rules, self.spark)
+
+    def routed(self, pages: DataFrame) -> DataFrame:
+        """Alert stream with routing metadata (K7): every gated alert
+        goes to its rule's sink; ``signature_id`` = sid."""
+        return self.gated(pages).select(
+            "sink",
+            F.col("sid").alias("signature_id"),
+            "url",
+            "domain",
+            "warc_epoch",
+            "src_ip",
+            "dst_ip",
+            "port",
+            "proto",
+            "hash",
+            "src_cc",
+            "dst_cc",
+            "classtype",
+            "priority",
+        )
+
+    def sink_counts(self, pages: DataFrame) -> DataFrame:
+        """The A8 correctness contract: exact per-sink per-signature
+        counts."""
+        return (
+            self.routed(pages)
+            .groupBy("sink", "signature_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def write_sinks(self, pages: DataFrame, out_dir: str) -> dict[str, int]:
+        """Fan-out write: one directory per sink, partitioned by
+        signature_id ([U] output.c dispatch → K1-K7).  Returns per-sink
+        row counts."""
+        routed = self.routed(pages).persist()
+        try:
+            counts = {
+                r["sink"]: r["cnt"]
+                for r in routed.groupBy("sink")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .collect()
+            }
+            for sink in counts:
+                (
+                    routed.where(F.col("sink") == sink)
+                    .write.mode("overwrite")
+                    .partitionBy("signature_id")
+                    .parquet(f"{out_dir}/{sink}")
+                )
+            return counts
+        finally:
+            routed.unpersist()
