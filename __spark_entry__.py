@@ -1,10 +1,14 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline (sink counts) on sf0.001.
+``queries()`` / ``oracle_sql()`` — one entry per implemented operator
+from SURVEY.md §2; the oracle SQL strings are generated from the SAME
+rule AST as the Spark plan (sagan_spark.oracle), so names/semantics
+stay in lock-step by construction.
+
+The synthesized ``pages`` input table (BASELINE.json input_hint shape)
+is derived deterministically from the driver's ``documents`` view in
+both engines — see sagan_spark/pages.py for the parity-tested twins.
 """
 
 from __future__ import annotations
@@ -12,27 +16,159 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# replication factor for the pages synthesis in correctness queries —
+# keep identical on both engines (bench scales it independently)
+QUERY_REP = 4
+
+
+def _pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.pages import pages_table
+
+    return pages_table(spark, sf_dir, rep=QUERY_REP)
+
+
+def _pipeline(spark: SparkSession):
+    from sagan_spark.pipeline import Pipeline
+
+    return Pipeline(spark)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full parse→enrich→route→aggregate, per-sink counts."""
+    p = _pipeline(spark)
+    return p.sink_counts(_pages(spark, "/root/testdata/sf0.001"))
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _q_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).sink_counts(_pages(spark, sf_dir))
+
+
+def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).hits(_pages(spark, sf_dir)).select("url", "sid")
+
+
+def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).extracted(_pages(spark, sf_dir)).select(
+        "url", "sid", "src_ip", "dst_ip", "port", "proto", "hash"
+    )
+
+
+def _q_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).enriched(_pages(spark, sf_dir)).select(
+        "url", "sid", "src_cc", "dst_cc", "priority"
+    )
+
+
+def _q_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pipeline(spark).routed(_pages(spark, sf_dir)).select(
+        "sink", "signature_id", "url"
+    )
+
+
+def _gate_urls(sid: int):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        p = _pipeline(spark)
+        return (
+            p.gated(_pages(spark, sf_dir))
+            .where(F.col("sid") == sid)
+            .select("url", "warc_epoch", "domain")
+        )
+
+    return q
+
+
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.parse.grok import pages_grok, with_grok
+
+    df = with_grok(_pages(spark, sf_dir), pages_grok())
+    return df.select(
+        "url",
+        F.col("message").alias("extracted_text"),
+        "nsrc_ip",
+        "ndst_ip",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        "flagship_sink_counts": _q_flagship,
+        "match_hits": _q_match,
+        "extract_fields": _q_extract,
+        "enrich_geo": _q_enrich,
+        "routed_rows": _q_routed,
+        "gate_after": _gate_urls(5000017),
+        "gate_threshold_limit": _gate_urls(5000016),
+        "gate_suppress": _gate_urls(5000018),
+        "xbits_isset": _gate_urls(5000020),
+        "xbits_isnotset": _gate_urls(5000021),
+        "flexbits_pair_isset": _gate_urls(5000024),
+        "normalize_grok": _q_normalize,
+    }
+    try:
+        from sagan_spark.datapipe.entry import datapipe_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+        q.update(datapipe_queries())
+    except ImportError:
+        pass
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from sagan_spark.oracle import oracle_query
+    from sagan_spark.pages import pages_with
+    from sagan_spark.parse.grok import grok_sql, pages_grok
+
+    def gate_sql(sid: int) -> str:
+        return oracle_query(
+            f"SELECT url, warc_epoch, domain FROM routed WHERE signature_id = {sid}",
+            rep=QUERY_REP,
+        )
+
+    g = grok_sql(pages_grok())
+    out = {
+        "flagship_sink_counts": oracle_query(
+            "SELECT sink, signature_id, count(*) AS n FROM routed GROUP BY 1, 2",
+            rep=QUERY_REP,
+        ),
+        "match_hits": oracle_query(
+            "SELECT url, sid FROM matched", rep=QUERY_REP
+        ),
+        "extract_fields": oracle_query(
+            "SELECT url, sid, src_ip, dst_ip, port, proto, hash FROM extracted",
+            rep=QUERY_REP,
+        ),
+        "enrich_geo": oracle_query(
+            "SELECT url, sid, src_cc, dst_cc, priority FROM cgated", rep=QUERY_REP
+        ),
+        "routed_rows": oracle_query(
+            "SELECT sink, signature_id, url FROM routed", rep=QUERY_REP
+        ),
+        "gate_after": gate_sql(5000017),
+        "gate_threshold_limit": gate_sql(5000016),
+        "gate_suppress": gate_sql(5000018),
+        "xbits_isset": gate_sql(5000020),
+        "xbits_isnotset": gate_sql(5000021),
+        "flexbits_pair_isset": gate_sql(5000024),
+        "normalize_grok": pages_with(rep=QUERY_REP)
+        + f" SELECT url, {g['message']} AS extracted_text, "
+        f"{g['nsrc_ip']} AS nsrc_ip, {g['ndst_ip']} AS ndst_ip FROM pages",
+    }
+    try:
+        from sagan_spark.datapipe.entry import datapipe_oracles
+
+        out.update(datapipe_oracles())
+    except ImportError:
+        pass
+    return out

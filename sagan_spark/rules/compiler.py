@@ -215,6 +215,13 @@ def _make_regex_batch_udf(
     ]
 
     def _impl(cols: tuple) -> "pd.Series":
+        import warnings
+
+        # fixture patterns legitimately contain groups; pandas warns that
+        # str.contains discards them — that is exactly what we want
+        warnings.filterwarnings(
+            "ignore", message="This pattern is interpreted as a regular expression"
+        )
         gate = cols[0].to_numpy(dtype="int64", na_value=0)
         out = np.zeros(len(gate), dtype="int64")
         for bit, reqs in compiled:
