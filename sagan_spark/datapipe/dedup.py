@@ -1,0 +1,309 @@
+"""Deduplication operators for large-scale training-data pipelines:
+exact (hash-groupBy), MinHash+LSH, n-gram Jaccard verification, and
+SimHash — all pure DataFrame expressions (JVM-side, codegen) with
+DuckDB oracle twins.
+
+Scale design:
+  * Exact dedup is a single hash aggregate on ``md5(text)`` — map-side
+    partial agg, one shuffle, no skew (hashes are uniform).
+  * MinHash+LSH avoids the O(n²) all-pairs join: signatures are
+    computed per row (no shuffle), candidate pairs come from a
+    self-equi-join on (band_id, band_signature) — only colliding
+    buckets join, and AQE splits any hot bucket.  At 10^12 docs the
+    band join is the only shuffle and is key-salted by band_id.
+  * Jaccard verification runs only on LSH candidates (the classic
+    two-phase filter-verify).
+  * SimHash near-dup pairs use 8-bit **band joins** (hamming ≤ k ⇒ at
+    least one of ⌈32/(k+1)⌉ bands equal — pigeonhole); the oracle
+    checks via naive all-pairs XOR popcount, independently verifying
+    the banding trick.
+
+Hash parity: 32-bit hashes are the first 8 hex chars of md5 —
+identical in Spark (`conv(substring(md5(x),1,8),16,10)`) and DuckDB
+(`('0x'||substring(md5(x),1,8))::BIGINT`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+P32 = 2_147_483_647
+N_HASH = 12
+BANDS = 4
+ROWS = N_HASH // BANDS
+
+SIM_BITS = 32
+SIM_BANDS = 4  # 8-bit bands → guarantees recall for hamming <= 3
+SIM_MAXDIST = 3
+
+
+def _perm(j: int) -> tuple[int, int]:
+    """Deterministic MinHash permutation coefficients, small enough
+    that a*h+b stays well under 2^63 in both engines (DuckDB raises on
+    BIGINT overflow)."""
+    return (7919 * (j + 1)) % 999_983 + 1, (104_729 * (j + 1)) % 999_979
+
+
+def h32_spark(col):
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def h32_sql(expr: str) -> str:
+    return f"('0x' || substring(md5({expr}), 1, 8))::BIGINT"
+
+
+# --- exact dedup -----------------------------------------------------------
+
+
+def exact_dedup(corpus: DataFrame) -> DataFrame:
+    """One row per distinct text: (text_hash, keeper=min doc_id, n_copies)."""
+    return (
+        corpus.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = (
+    "SELECT md5(text) AS text_hash, min(doc_id) AS keeper, "
+    "count(*) AS n_copies FROM corpus GROUP BY md5(text)"
+)
+
+
+# --- shingles + MinHash ----------------------------------------------------
+
+
+def with_shingles(corpus: DataFrame) -> DataFrame:
+    """Word 2-shingles (k=2; empty when < 2 tokens — guarded because
+    Spark's sequence(1, 0) would DESCEND, not return empty)."""
+    toks = F.split(F.col("text"), " ")
+    sh = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return corpus.withColumn("shingles", sh)
+
+
+SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len(string_split(text, ' ')), 1)), "
+    "i -> list_extract(string_split(text, ' '), i) || ' ' || "
+    "list_extract(string_split(text, ' '), i + 1))"
+)
+
+
+def with_minhash(df: DataFrame) -> DataFrame:
+    """N_HASH minhashes over shingle 32-bit hashes (array_min of the
+    permuted hash — per-row, no shuffle)."""
+    hs = F.transform(F.col("shingles"), lambda s: h32_spark(s))
+    df = df.withColumn("_sh32", hs)
+    for j in range(N_HASH):
+        a, b = _perm(j)
+        df = df.withColumn(
+            f"mh{j}",
+            F.array_min(F.transform(F.col("_sh32"), lambda h: (h * a + b) % P32)),
+        )
+    return df.drop("_sh32")
+
+
+def minhash_select_sql() -> str:
+    parts = []
+    for j in range(N_HASH):
+        a, b = _perm(j)
+        parts.append(
+            f"list_min(list_transform(sh32, h -> (h * {a} + {b}) % {P32})) AS mh{j}"
+        )
+    return ", ".join(parts)
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mhN) — the per-doc signature table."""
+    return with_minhash(with_shingles(corpus)).select(
+        "doc_id", *[f"mh{j}" for j in range(N_HASH)]
+    )
+
+
+MINHASH_SIG_SQL_TEMPLATE = f"""
+SELECT doc_id, {{mh}} FROM (
+  SELECT doc_id, list_transform({SHINGLES_SQL}, s -> {h32_sql('s')}) AS sh32
+  FROM corpus
+)
+""".strip()
+
+
+def minhash_sig_sql() -> str:
+    return MINHASH_SIG_SQL_TEMPLATE.format(mh=minhash_select_sql())
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band → bucket-join → distinct candidate pairs (a < b)."""
+    bands = []
+    for b in range(BANDS):
+        cols = [f"mh{b * ROWS + r}" for r in range(ROWS)]
+        bands.append(
+            sigs.select(
+                "doc_id",
+                F.lit(b).alias("band_id"),
+                F.concat_ws("-", *cols).alias("sig"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    l = allb.select(
+        F.col("doc_id").alias("a"), F.col("band_id"), F.col("sig")
+    )
+    r = allb.select(
+        F.col("doc_id").alias("b"), F.col("band_id"), F.col("sig")
+    )
+    return (
+        l.join(r, ["band_id", "sig"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def lsh_ctes() -> str:
+    """CTE continuation (append after ``corpus_with()``): sigs, bands,
+    lsh_pairs."""
+    sig_cases = []
+    for b in range(BANDS):
+        cols = " || '-' || ".join(
+            f"CAST(mh{b * ROWS + r} AS VARCHAR)" for r in range(ROWS)
+        )
+        sig_cases.append(f"SELECT doc_id, {b} AS band_id, {cols} AS sig FROM sigs")
+    bands = "\nUNION ALL\n".join(sig_cases)
+    return f""",
+sigs AS ({minhash_sig_sql()}),
+bands AS ({bands}),
+lsh_pairs AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.band_id = r.band_id AND l.sig = r.sig
+  WHERE l.doc_id < r.doc_id
+)""".strip()
+
+
+LSH_PAIRS_SELECT = "SELECT a, b FROM lsh_pairs"
+
+
+# --- n-gram Jaccard verification ------------------------------------------
+
+
+def jaccard_verify(corpus: DataFrame, pairs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Exact 2-shingle Jaccard on candidate pairs; (a, b, jac)."""
+    sh = with_shingles(corpus).select(
+        "doc_id", F.array_distinct("shingles").alias("sh")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("doc_id", "a").withColumnRenamed("sh", "sha"), "a")
+        .join(sh.withColumnRenamed("doc_id", "b").withColumnRenamed("sh", "shb"), "b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        j.withColumn("jac", jac)
+        .where(F.col("jac") >= threshold)
+        .select("a", "b", "jac")
+    )
+
+
+def jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    """Full tail (append after ``corpus_with() + lsh_ctes()``)."""
+    return f""",
+sh AS (
+  SELECT doc_id, list_distinct({SHINGLES_SQL}) AS s FROM corpus
+)
+SELECT a, b, jac FROM (
+  SELECT p.a, p.b,
+    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jac
+  FROM lsh_pairs p
+  JOIN sh sa ON sa.doc_id = p.a
+  JOIN sh sb ON sb.doc_id = p.b
+)
+WHERE jac >= {threshold}
+""".strip()
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def with_simhash(corpus: DataFrame) -> DataFrame:
+    """32-bit SimHash over unigram token hashes (majority vote per
+    bit) — single projection, no shuffle."""
+    toks = F.split(F.col("text"), " ")
+    df = corpus.withColumn("_th", F.transform(toks, lambda t: h32_spark(t)))
+    n = F.size("_th")
+    sim = F.lit(0).cast("long")
+    for j in range(SIM_BITS):
+        ones = F.size(
+            F.filter(F.col("_th"), lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1)
+        )
+        sim = sim + F.when(ones * 2 > n, F.lit(1 << j)).otherwise(F.lit(0))
+    return df.withColumn("simhash", sim).drop("_th")
+
+
+def simhash_select_sql() -> str:
+    terms = []
+    for j in range(SIM_BITS):
+        terms.append(
+            f"CASE WHEN len(list_filter(th, h -> (h >> {j}) & 1 = 1)) * 2 > len(th) "
+            f"THEN {1 << j} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+def simhash_sql() -> str:
+    return f"""
+SELECT doc_id, {simhash_select_sql()} AS simhash FROM (
+  SELECT doc_id, list_transform(string_split(text, ' '), t -> {h32_sql('t')}) AS th
+  FROM corpus
+)
+""".strip()
+
+
+def simhash_pairs(sim: DataFrame, maxdist: int = SIM_MAXDIST) -> DataFrame:
+    """Near-dup pairs by banded join: hamming ≤ maxdist ⇒ some 8-bit
+    band equal (pigeonhole, 4 bands for ≤3 bits differing) — the
+    scale path.  Exact hamming recheck after the band join."""
+    bands = []
+    for b in range(SIM_BANDS):
+        bands.append(
+            sim.select(
+                "doc_id",
+                "simhash",
+                F.lit(b).alias("band_id"),
+                F.shiftright("simhash", b * 8).bitwiseAND(F.lit(255)).alias("chunk"),
+            )
+        )
+    allb = bands[0]
+    for x in bands[1:]:
+        allb = allb.unionByName(x)
+    l = allb.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "band_id", "chunk")
+    r = allb.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "band_id", "chunk")
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
+    return (
+        l.join(r, ["band_id", "chunk"])
+        .where(F.col("a") < F.col("b"))
+        .withColumn("hamming", ham)
+        .where(F.col("hamming") <= maxdist)
+        .select("a", "b", "hamming")
+        .distinct()
+    )
+
+
+def simhash_pairs_sql(maxdist: int = SIM_MAXDIST) -> str:
+    """CTE continuation + select (append after ``corpus_with()``).
+    Oracle via naive all-pairs — independently verifies the band
+    join's recall."""
+    return f""",
+sim AS ({simhash_sql()})
+SELECT l.doc_id AS a, r.doc_id AS b,
+       bit_count(xor(l.simhash, r.simhash))::BIGINT AS hamming
+FROM sim l JOIN sim r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.simhash, r.simhash)) <= {maxdist}
+""".strip()

@@ -1,0 +1,166 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(``embeddings.embedding: array<float>``, 64-dim).
+
+  * **Brute-force cosine top-k** — the correctness baseline: broadcast
+    the query set, one pass over the corpus, per-query top-k via
+    window.  The dot product is an explicit 64-term sum generated
+    identically for Spark and DuckDB (same association order ⇒
+    bit-identical doubles; library kernels like list_cosine_similarity
+    are avoided precisely because their summation order is unspecified).
+  * **LSH-bucketed ANN** — the scale path: 8 deterministic integer
+    hyperplanes → 8-bit sign bucket per vector (a single projection,
+    no shuffle), candidates = same-bucket rows (equi-join), exact
+    cosine re-rank inside the bucket.  At 10^12 rows the bucket join
+    replaces the O(n·q) scan, trading recall for a ~2^8 fan-in cut;
+    recall is measured against the brute-force baseline in tests.
+
+Rank ties are broken by vec_id so results are deterministic in both
+engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+DIM = 64
+N_PLANES = 8
+TOPK = 5
+N_QUERIES = 10
+
+
+def plane_weight(p: int, d: int) -> int:
+    """Deterministic pseudo-random integer hyperplane weights in
+    [-7, 7]."""
+    return ((1 + 131 * p + 37 * d) % 15) - 7
+
+
+def _dot_spark(a: str, b: str):
+    s = None
+    for d in range(1, DIM + 1):
+        term = F.element_at(a, d).cast("double") * F.element_at(b, d).cast("double")
+        s = term if s is None else s + term
+    return s
+
+
+def _norm_spark(a: str):
+    s = None
+    for d in range(1, DIM + 1):
+        term = F.element_at(a, d).cast("double") * F.element_at(a, d).cast("double")
+        s = term if s is None else s + term
+    return F.sqrt(s)
+
+
+def dot_sql(a: str, b: str) -> str:
+    return "(" + " + ".join(
+        f"CAST(list_extract({a}, {d}) AS DOUBLE) * CAST(list_extract({b}, {d}) AS DOUBLE)"
+        for d in range(1, DIM + 1)
+    ) + ")"
+
+
+def norm_sql(a: str) -> str:
+    return (
+        "sqrt(" + " + ".join(
+            f"CAST(list_extract({a}, {d}) AS DOUBLE) * CAST(list_extract({a}, {d}) AS DOUBLE)"
+            for d in range(1, DIM + 1)
+        ) + ")"
+    )
+
+
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def brute_force_topk(emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES) -> DataFrame:
+    """(query_id, neighbor_id, rank, cos) — self-neighbors excluded."""
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"))
+    # broadcast the tiny query set, stream the (10^12-row) corpus side
+    j = F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        _dot_spark("qe", "ce") / (_norm_spark("qe") * _norm_spark("ce")), 6
+    )
+    j = j.withColumn("cos", cos)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def brute_force_sql(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    cos = f"round({dot_sql('q.embedding', 'c.embedding')} / ({norm_sql('q.embedding')} * {norm_sql('c.embedding')}), 6)"
+    return f"""
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+WHERE rank <= {k}
+""".strip()
+
+
+def _bucket_spark(col: str):
+    b = F.lit(0)
+    for p in range(N_PLANES):
+        s = None
+        for d in range(1, DIM + 1):
+            term = F.element_at(col, d).cast("double") * plane_weight(p, d)
+            s = term if s is None else s + term
+        b = b + F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return b
+
+
+def bucket_sql(col: str) -> str:
+    parts = []
+    for p in range(N_PLANES):
+        dot = " + ".join(
+            f"CAST(list_extract({col}, {d}) AS DOUBLE) * ({plane_weight(p, d)})"
+            for d in range(1, DIM + 1)
+        )
+        parts.append(f"CASE WHEN ({dot}) >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(parts) + ")"
+
+
+def lsh_topk(emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES) -> DataFrame:
+    """Bucketed ANN: candidates share the query's sign bucket."""
+    withb = emb.withColumn("bucket", _bucket_spark("embedding"))
+    q = withb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    c = withb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    j = F.broadcast(q).join(c, "bucket").where(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.round(
+        _dot_spark("qe", "ce") / (_norm_spark("qe") * _norm_spark("ce")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        j.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cos")
+    )
+
+
+def lsh_topk_sql(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
+    cos = f"round({dot_sql('q.embedding', 'c.embedding')} / ({norm_sql('q.embedding')} * {norm_sql('c.embedding')}), 6)"
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos,
+    row_number() OVER (PARTITION BY q.vec_id ORDER BY {cos} DESC, c.vec_id) AS rank
+  FROM withb q JOIN withb c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {n_queries}
+)
+WHERE rank <= {k}
+""".strip()
