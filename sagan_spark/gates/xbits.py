@@ -62,6 +62,11 @@ def apply_bit_tests(df: DataFrame, rules: list[Rule], spark: SparkSession) -> Da
     writes, tests = bit_ops_rows(rules)
     if not tests:
         return df
+    # df feeds three branches (events, testers, pass-through) — without
+    # materialization each branch would recompute the entire upstream
+    # match+window plan.  At cluster scale this is a staging write of
+    # the (small) gated alert stream; locally MEMORY_AND_DISK persist.
+    df = df.persist()
     writes_df = spark.createDataFrame(
         writes, schema="sid long, name string, track string, op string, expire int"
     )
