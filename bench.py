@@ -1,0 +1,121 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
+  * the flagship parse→enrich→route→aggregate pipeline (routed
+    events/sec — BASELINE.json metric), at TWO parallelism levels
+    (local[N] and local[4N]) on identical pre-materialized input —
+    the sandbox proxy for N vs 4N executors (BASELINE.md protocol);
+    scaling_efficiency = throughput(4N) / (4 × throughput(N)).
+  * headline datapipe queries (MinHash-LSH dedup, bucketed ANN,
+    fingerprints, multimodal metadata) at local[4N].
+
+Fairness: identical input/ruleset/code, shuffle partitions
+proportional to cores, AQE on everywhere, 2 repetitions → best.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _time(fn, reps: int = 2) -> float:
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def flagship_secs(master_cores: int, sf_dir: str, rep: int) -> tuple[float, int]:
+    from sagan_spark.pages import pages_table
+    from sagan_spark.pipeline import Pipeline
+    from sagan_spark.session import build_session
+
+    spark = build_session(
+        f"bench_c{master_cores}",
+        master=f"local[{master_cores}]",
+        shuffle_partitions=master_cores * 2,
+    )
+    try:
+        pages = pages_table(spark, sf_dir, rep=rep)  # pre-materialized, shared
+        n_pages = pages.count()
+        pipe = Pipeline(spark)
+
+        def run():
+            pipe.sink_counts(pages).collect()
+
+        return _time(run), n_pages
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    rep = int(os.environ.get("SPARK_GRAFT_REP", "16"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    n_small = max(2, cpus // 4)
+
+    queries: dict[str, float] = {}
+
+    t_small, n_pages = flagship_secs(n_small, sf_dir, rep)
+    t_big, _ = flagship_secs(cpus, sf_dir, rep)
+    queries[f"flagship_local{n_small}"] = t_small
+    queries[f"flagship_local{cpus}"] = t_big
+    thr_small, thr_big = n_pages / t_small, n_pages / t_big
+    eff = round(thr_big / (4.0 * thr_small), 3)
+
+    # datapipe headliners at full parallelism
+    from sagan_spark.datapipe import dedup, similarity, text
+    from sagan_spark.datapipe.corpus import load_corpus
+    from sagan_spark.session import build_session
+
+    spark = build_session("bench_dp", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
+    try:
+        corpus = load_corpus(spark, sf_dir)
+        queries["dedup_minhash_lsh"] = _time(
+            lambda: dedup.lsh_candidate_pairs(
+                dedup.minhash_signatures(corpus)
+            ).count()
+        )
+        emb = similarity.load_embeddings(spark, sf_dir)
+        queries["ann_lsh_bucketed"] = _time(lambda: similarity.lsh_topk(emb).count())
+        docs = text.load_documents(spark, sf_dir)
+        queries["text_fingerprints"] = _time(lambda: text.fingerprints(docs).count())
+
+        from sagan_spark.datapipe.multimodal import media_features
+        from sagan_spark.pages import pages_table
+
+        pages = pages_table(spark, sf_dir, rep=rep)
+        queries["multimodal_media_meta"] = _time(lambda: media_features(pages).count())
+    finally:
+        spark.stop()
+
+    print(
+        json.dumps(
+            {
+                "metric": "routed events/sec (parse→enrich→route→aggregate)",
+                "value": round(thr_big, 1),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "pages": n_pages,
+                "rep": rep,
+                "scaling": {
+                    "n_cores": n_small,
+                    "4n_cores": cpus,
+                    "throughput_n": round(thr_small, 1),
+                    "throughput_4n": round(thr_big, 1),
+                    "efficiency": eff,
+                },
+            },
+            ensure_ascii=False,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

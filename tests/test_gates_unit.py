@@ -1,0 +1,107 @@
+"""Gate semantics on hand-crafted event sequences (FIXTURES.md F4):
+exactly-N-th event, expiry boundary, unset-then-test, same-page
+set+test ordering."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sagan_spark.gates.windows import apply_window_gates, gates_cfg_df
+from sagan_spark.gates.xbits import apply_bit_tests
+from sagan_spark.rules.model import AfterGate, Rule, ThresholdGate, XbitOp
+
+COLS = "sid long, url string, domain string, warc_epoch long, src_ip string, dst_ip string, source string"
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, schema=COLS)
+
+
+def _rows(sid, epochs, domain="d1"):
+    return [
+        (sid, f"u{sid}-{i}-{e}", domain, e, "10.0.0.1", "192.168.0.1", "s")
+        for i, e in enumerate(epochs)
+    ]
+
+
+def _kept_epochs(df, sid):
+    return sorted(r["warc_epoch"] for r in df.where(F.col("sid") == sid).collect())
+
+
+def test_after_fires_only_past_count(spark):
+    r = Rule(sid=1, after=AfterGate(track="by_domain", count=2, seconds=100))
+    df = _frame(spark, _rows(1, [0, 50, 100, 101, 250]))
+    out = apply_window_gates(df, gates_cfg_df(spark, [r]), [r])
+    # rolling [-100, 0] inclusive boundary: event at t=100 still counts t=0
+    assert _kept_epochs(out, 1) == [100, 101]
+
+
+def test_threshold_limit_tumbling_first_n(spark):
+    r = Rule(sid=2, threshold=ThresholdGate(ttype="limit", track="by_domain", count=1, seconds=100))
+    df = _frame(spark, _rows(2, [0, 50, 100, 101, 250]))
+    out = apply_window_gates(df, gates_cfg_df(spark, [r]), [r])
+    assert _kept_epochs(out, 2) == [0, 100, 250]
+
+
+def test_threshold_suppress_drops_over_count(spark):
+    r = Rule(sid=3, threshold=ThresholdGate(ttype="suppress", track="by_domain", count=2, seconds=100))
+    df = _frame(spark, _rows(3, [0, 50, 100, 101, 250]))
+    out = apply_window_gates(df, gates_cfg_df(spark, [r]), [r])
+    assert _kept_epochs(out, 3) == [0, 50, 250]
+
+
+def test_gates_key_isolation(spark):
+    """Different domains count independently."""
+    r = Rule(sid=4, after=AfterGate(track="by_domain", count=1, seconds=1000))
+    rows = _rows(4, [0, 10], domain="a") + _rows(4, [20], domain="b")
+    out = apply_window_gates(_frame(spark, rows), gates_cfg_df(spark, [r]), [r])
+    kept = sorted(
+        (r["domain"], r["warc_epoch"]) for r in out.where(F.col("sid") == 4).collect()
+    )
+    assert kept == [("a", 10)]  # b never reaches count 2
+
+
+SET_RULE = Rule(sid=10, xbits=(XbitOp(op="set", name="bit", track="by_domain", expire=100),))
+UNSET_RULE = Rule(sid=11, xbits=(XbitOp(op="unset", name="bit", track="by_domain"),))
+ISSET_RULE = Rule(sid=12, xbits=(XbitOp(op="isset", name="bit", track="by_domain"),))
+ISNOT_RULE = Rule(sid=13, xbits=(XbitOp(op="isnotset", name="bit", track="by_domain"),))
+
+
+def test_xbit_isset_and_expiry_boundary(spark):
+    rules = [SET_RULE, ISSET_RULE, ISNOT_RULE]
+    rows = (
+        _rows(10, [0])  # set at t=0, expire 100
+        + _rows(12, [50, 99, 100, 150])  # isset testers
+        + _rows(13, [50, 100])  # isnotset testers
+    )
+    out = apply_bit_tests(_frame(spark, rows), rules, spark)
+    assert _kept_epochs(out, 10) == [0]  # setter row passes through
+    # boundary: tester exactly at set_ts + expire sees the bit CLEARED
+    assert _kept_epochs(out, 12) == [50, 99]
+    assert _kept_epochs(out, 13) == [100]
+
+
+def test_xbit_unset_then_test(spark):
+    rules = [SET_RULE, UNSET_RULE, ISSET_RULE]
+    rows = _rows(10, [0]) + _rows(11, [60]) + _rows(12, [50, 70])
+    out = apply_bit_tests(_frame(spark, rows), rules, spark)
+    assert _kept_epochs(out, 12) == [50]  # 70 sees the unset at 60
+
+
+def test_xbit_same_epoch_set_visible_to_tester(spark):
+    """Same event-time set is visible when (epoch, url) order admits it;
+    setter url sorts before tester url here."""
+    rules = [SET_RULE, ISSET_RULE]
+    rows = [
+        (10, "a-set", "d1", 5, "10.0.0.1", "192.168.0.1", "s"),
+        (12, "b-test", "d1", 5, "10.0.0.1", "192.168.0.1", "s"),
+    ]
+    out = apply_bit_tests(_frame(spark, rows), rules, spark)
+    assert _kept_epochs(out, 12) == [5]
+
+
+def test_xbit_key_isolation(spark):
+    rules = [SET_RULE, ISSET_RULE]
+    rows = _rows(10, [0], domain="a") + _rows(12, [10], domain="b")
+    out = apply_bit_tests(_frame(spark, rows), rules, spark)
+    assert _kept_epochs(out, 12) == []  # different key, bit not set
