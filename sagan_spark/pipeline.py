@@ -68,10 +68,14 @@ class Pipeline:
         return with_shared_extracts(m)
 
     def hits(self, pages: DataFrame) -> DataFrame:
+        # the wide text/html columns are dead after the match stage
+        # (extraction reads the pre-computed shared-extract columns) —
+        # dropping them BEFORE the ~10× explode keeps them out of every
+        # downstream shuffle
         return (
             self.matched(pages)
             .withColumn("sid", F.explode("sids"))
-            .drop("sids", "html", "doc_id", "rep", "warc_ts")
+            .drop("sids", "html", "text", "doc_id", "rep", "warc_ts")
         )
 
     def extracted(self, pages: DataFrame) -> DataFrame:
