@@ -91,11 +91,30 @@ def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> Data
     ungated rules can never influence a gated rule's counts — they skip
     the exchange entirely (measured ~22/25 of the alert stream).  The
     split reads a persisted frame, so the upstream match plan runs
-    once."""
-    df = df.join(F.broadcast(cfg), "sid", "left")
-    df = df.withColumn("after_key", track_key_col("after_track")).withColumn(
-        "th_key", track_key_col("th_track")
+    once.
+
+    Exchange sharing: when no rule carries BOTH an after and a
+    threshold gate with *different* track keys (the overwhelmingly
+    common case), every window partitions by the single
+    (sid, gate_key) pair — rolling frames share one exchange + sort,
+    and the tumbling `limit` window's (sid, gate_key, win_id)
+    clustering is subset-satisfied by the same exchange (re-sort only,
+    no second shuffle)."""
+    unified = all(
+        not (r.after and r.threshold) or r.after.track == r.threshold.track
+        for r in rules
     )
+    df = df.join(F.broadcast(cfg), "sid", "left")
+    if unified:
+        gate_track = F.coalesce("after_track", "th_track")
+        df = df.withColumn("_gt", gate_track)
+        key = track_key_col("_gt")
+        df = df.withColumn("after_key", key).withColumn("th_key", F.col("after_key"))
+        df = df.drop("_gt")
+    else:
+        df = df.withColumn("after_key", track_key_col("after_track")).withColumn(
+            "th_key", track_key_col("th_track")
+        )
     gated_sids = [r.sid for r in rules if r.after or r.threshold]
     if not gated_sids:
         return df

@@ -88,8 +88,30 @@ class Pipeline:
         df = with_classification(df, self.cls)
         return country_gate(df)
 
+    # columns the gate + routing stages actually need — everything else
+    # (extraction scratch, cfg arrays, defaults) is dead weight that the
+    # persist() barriers would otherwise carry through every shuffle
+    GATE_COLS = [
+        "url",
+        "domain",
+        "warc_epoch",
+        "sid",
+        "source",
+        "src_ip",
+        "dst_ip",
+        "port",
+        "proto",
+        "hash",
+        "src_cc",
+        "dst_cc",
+        "classtype",
+        "priority",
+        "sink",
+    ]
+
     def window_gated(self, pages: DataFrame) -> DataFrame:
-        return apply_window_gates(self.enriched(pages), self.gcfg, self.rules)
+        pruned = self.enriched(pages).select(*self.GATE_COLS)
+        return apply_window_gates(pruned, self.gcfg, self.rules)
 
     def gated(self, pages: DataFrame) -> DataFrame:
         return apply_bit_tests(self.window_gated(pages), self.rules, self.spark)
