@@ -84,6 +84,31 @@ def _gate_urls(sid: int):
     return q
 
 
+def _q_fast_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import fast_lines
+
+    return fast_lines(_pipeline(spark).routed(_pages(spark, sf_dir)))
+
+
+def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.stats import domain_stats
+
+    return domain_stats(_pipeline(spark).hits(_pages(spark, sf_dir)))
+
+
+def _q_stale_clients(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.stats import stale_clients
+
+    return stale_clients(_pages(spark, sf_dir))
+
+
+def _q_bit_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.stats import bit_state_table
+
+    p = _pipeline(spark)
+    return bit_state_table(p.window_gated(_pages(spark, sf_dir)), p.rules, spark)
+
+
 def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.parse.grok import pages_grok, with_grok
 
@@ -110,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xbits_isnotset": _gate_urls(5000021),
         "flexbits_pair_isset": _gate_urls(5000024),
         "normalize_grok": _q_normalize,
+        "sink_fast_lines": _q_fast_lines,
+        "stats_domain_salted": _q_domain_stats,
+        "track_clients_stale": _q_stale_clients,
+        "xbits_state_table": _q_bit_state,
     }
     try:
         from sagan_spark.datapipe.entry import datapipe_queries
@@ -165,6 +194,17 @@ def oracle_sql() -> dict[str, str]:
         + f" SELECT url, {g['message']} AS extracted_text, "
         f"{g['nsrc_ip']} AS nsrc_ip, {g['ndst_ip']} AS ndst_ip FROM pages",
     }
+
+    from sagan_spark.route.formats import fast_lines_sql
+    from sagan_spark.route.stats import DOMAIN_STATS_SQL, bit_state_sql, stale_clients_sql
+    from sagan_spark.rules.fixture_rules import fixture_rules
+
+    out["sink_fast_lines"] = oracle_query(fast_lines_sql(), rep=QUERY_REP)
+    out["stats_domain_salted"] = oracle_query(DOMAIN_STATS_SQL, rep=QUERY_REP)
+    out["track_clients_stale"] = pages_with(rep=QUERY_REP) + "\n" + stale_clients_sql()
+    out["xbits_state_table"] = oracle_query(
+        bit_state_sql(list(fixture_rules())), rep=QUERY_REP
+    )
     try:
         from sagan_spark.datapipe.entry import datapipe_oracles
 

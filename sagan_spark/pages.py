@@ -176,9 +176,20 @@ def pages_table(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
     import hashlib
     import os
 
-    key = hashlib.md5(f"{sf_dir}|{rep}|v2".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{rep}|v3".encode()).hexdigest()[:12]
     path = f"/tmp/sagan_pages_cache/{key}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):
-        load_pages(spark, sf_dir, rep).write.mode("overwrite").parquet(path)
+        # 64-way range layout on warc_epoch: the synthesis plan would
+        # otherwise inherit the single-file documents scan and write ~6
+        # files, capping every downstream scan at 6-way parallelism
+        # (measured).  Range partitioning gives contiguous time slices,
+        # so the runner's event-time units prune files via parquet
+        # min/max stats — the parquet analog of Iceberg hours(warc_ts).
+        (
+            load_pages(spark, sf_dir, rep)
+            .repartitionByRange(64, "warc_epoch")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
     return spark.read.parquet(path)

@@ -68,14 +68,20 @@ class Pipeline:
         return with_shared_extracts(m)
 
     def hits(self, pages: DataFrame) -> DataFrame:
-        # the wide text/html columns are dead after the match stage
+        # NO pre-explode filter: `where(size(sids) > 0)` before the
+        # explode makes the optimizer inline the whole match expression
+        # twice → TWO ArrowEvalPython nodes (every row crosses into
+        # Python twice) and an interpreted (non-codegen) projection —
+        # measured 50× slower.  explode() of an empty array already
+        # emits nothing, so the filter is semantically redundant here.
+        #
+        # The wide text/html columns are dead after the match stage
         # (extraction reads the pre-computed shared-extract columns) —
         # dropping them BEFORE the ~10× explode keeps them out of every
-        # downstream shuffle
-        return (
-            self.matched(pages)
-            .withColumn("sid", F.explode("sids"))
-            .drop("sids", "html", "text", "doc_id", "rep", "warc_ts")
+        # downstream shuffle.
+        m = with_shared_extracts(self.comp.with_sids(pages))
+        return m.withColumn("sid", F.explode("sids")).drop(
+            "sids", "html", "text", "doc_id", "rep", "warc_ts"
         )
 
     def extracted(self, pages: DataFrame) -> DataFrame:
