@@ -52,6 +52,15 @@ def build_session(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
         )
+        # rule matching is ~10-50× more CPU per byte than a plain scan;
+        # the default 128 MB split packs a whole bench input into 2-4
+        # tasks and serializes the match stage (measured: task-time ≈
+        # wall at every core count).  16 MB targets ~cores×2-4 match
+        # tasks; a pure-scan workload on a real cluster would keep 128m
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
@@ -61,6 +70,19 @@ def build_session(
         # local[8] fits, inverting the scaling curve; measured)
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.driver.maxResultSize", "4g")
+        # G1's time-to-safepoint stalls under many threads inside long
+        # counted codegen loops (string-heavy match expressions) were
+        # measured to SLOW local[32] 4-6× below local[8]; ParallelGC +
+        # counted-loop safepoints restore linear-ish thread scaling
+        # (39-60s → 9.4s for the match stage at 32 threads)
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_JVM_OPTS",
+                "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+                "-XX:+UseCountedLoopSafepoints -XX:LoopStripMiningIter=1000",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .getOrCreate()
