@@ -56,7 +56,9 @@ def bit_events(df: DataFrame, writes_df: DataFrame) -> DataFrame:
     )
 
 
-def apply_bit_tests(df: DataFrame, rules: list[Rule], spark: SparkSession) -> DataFrame:
+def apply_bit_tests(
+    df: DataFrame, rules: list[Rule], spark: SparkSession, persist: bool = True
+) -> DataFrame:
     """Filter tester-rule rows by their isset/isnotset conditions;
     non-tester rows pass through untouched.
 
@@ -77,7 +79,13 @@ def apply_bit_tests(df: DataFrame, rules: list[Rule], spark: SparkSession) -> Da
     # materialization each branch would recompute the entire upstream
     # match+window plan.  At cluster scale this is a staging write of
     # the (small) gated alert stream; locally MEMORY_AND_DISK persist.
-    df = df.persist()
+    # The pipeline passes persist=False: its window stage already
+    # persists the pre-window base, and every branch's sid filter
+    # pushes through the Window operators (sid is a partition key of
+    # all of them) down to that persisted frame — a second
+    # materialization of the same ~10×-exploded stream buys nothing.
+    if persist:
+        df = df.persist()
     writes_df = spark.createDataFrame(
         writes, schema="sid long, name string, track string, op string, expire int"
     )

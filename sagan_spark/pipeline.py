@@ -120,7 +120,9 @@ class Pipeline:
         return apply_window_gates(pruned, self.gcfg, self.rules)
 
     def gated(self, pages: DataFrame) -> DataFrame:
-        return apply_bit_tests(self.window_gated(pages), self.rules, self.spark)
+        return apply_bit_tests(
+            self.window_gated(pages), self.rules, self.spark, persist=False
+        )
 
     def routed(self, pages: DataFrame) -> DataFrame:
         """Alert stream with routing metadata (K7): every gated alert
