@@ -84,6 +84,29 @@ def _gate_urls(sid: int):
     return q
 
 
+def _q_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.enrich.enrich import blacklist_dim_df, with_blacklist
+    from sagan_spark.rules.fixture_rules import blacklist_rows
+
+    df = _pipeline(spark).extracted(_pages(spark, sf_dir))
+    bl = blacklist_dim_df(spark, blacklist_rows())
+    out = with_blacklist(df, bl, "src_ip", "src_bl")
+    return out.where(F.col("src_bl").isNotNull()).select("url", "sid", "src_bl")
+
+
+def _q_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.enrich.enrich import with_intel
+    from sagan_spark.rules.fixture_rules import INTEL
+
+    intel = spark.createDataFrame(
+        INTEL, schema="indicator string, itype string, isource string"
+    )
+    df = with_intel(_pipeline(spark).extracted(_pages(spark, sf_dir)), intel)
+    return df.where(
+        F.col("intel_domain_src").isNotNull() | F.col("intel_hash_src").isNotNull()
+    ).select("url", "sid", "intel_domain_src", "intel_hash_src")
+
+
 def _q_fast_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.route.formats import fast_lines
 
@@ -135,6 +158,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xbits_isnotset": _gate_urls(5000021),
         "flexbits_pair_isset": _gate_urls(5000024),
         "normalize_grok": _q_normalize,
+        "enrich_blacklist": _q_blacklist,
+        "enrich_intel": _q_intel,
         "sink_fast_lines": _q_fast_lines,
         "stats_domain_salted": _q_domain_stats,
         "track_clients_stale": _q_stale_clients,
@@ -195,10 +220,31 @@ def oracle_sql() -> dict[str, str]:
         f"{g['nsrc_ip']} AS nsrc_ip, {g['ndst_ip']} AS ndst_ip FROM pages",
     }
 
+    from sagan_spark.enrich.enrich import blacklist_lateral_sql
     from sagan_spark.route.formats import fast_lines_sql
     from sagan_spark.route.stats import DOMAIN_STATS_SQL, bit_state_sql, stale_clients_sql
-    from sagan_spark.rules.fixture_rules import fixture_rules
+    from sagan_spark.rules.fixture_rules import (
+        blacklist_values_sql,
+        fixture_rules,
+        intel_values_sql,
+    )
 
+    out["enrich_blacklist"] = oracle_query(
+        "SELECT url, sid, src_bl FROM (SELECT url, sid, "
+        + blacklist_lateral_sql("src_ip", "src_bl", blacklist_values_sql())
+        + " FROM extracted) WHERE src_bl IS NOT NULL",
+        rep=QUERY_REP,
+    )
+    out["enrich_intel"] = oracle_query(
+        "SELECT e.url, e.sid, idom.isource AS intel_domain_src, "
+        "ihash.isource AS intel_hash_src FROM extracted e "
+        f"LEFT JOIN {intel_values_sql().replace(' AS intel(', ' AS idom(')} "
+        "ON idom.itype = 'domain' AND idom.indicator = e.domain "
+        f"LEFT JOIN {intel_values_sql().replace(' AS intel(', ' AS ihash(')} "
+        "ON ihash.itype = 'hash' AND ihash.indicator = e.hash "
+        "WHERE idom.isource IS NOT NULL OR ihash.isource IS NOT NULL",
+        rep=QUERY_REP,
+    )
     out["sink_fast_lines"] = oracle_query(fast_lines_sql(), rep=QUERY_REP)
     out["stats_domain_salted"] = oracle_query(DOMAIN_STATS_SQL, rep=QUERY_REP)
     out["track_clients_stale"] = pages_with(rep=QUERY_REP) + "\n" + stale_clients_sql()

@@ -115,6 +115,50 @@ def geo_sql(ip: str, out_cc: str, geo_values: str) -> str:
     )
 
 
+def with_blacklist(df: DataFrame, bl: DataFrame, ip_col: str, out: str) -> DataFrame:
+    """Blacklist processor (E4; [U] src/processors/blacklist.c): CIDR
+    hit → list name.  Same disjoint-bucketed broadcast equi-join shape
+    as GeoIP (lists are non-overlapping by construction; overlapping
+    feeds would go through the same flatten_ranges preprocessing)."""
+    return with_geo(df, bl, ip_col, out)
+
+
+def blacklist_dim_df(spark: SparkSession, rows: list[tuple[int, int, int, str]]) -> DataFrame:
+    """rows = (net_start, net_end, prefix_len, list_name) → bucketed."""
+    return geo_dim_df(spark, rows)
+
+
+def blacklist_lateral_sql(ip: str, out: str, bl_values: str) -> str:
+    """Oracle: plain range probe (independent of the bucketing)."""
+    ipl = ip_to_long_sql(ip)
+    return (
+        f"(SELECT list_name FROM {bl_values} "
+        f"WHERE {ipl} >= bl.net_start AND {ipl} <= bl.net_end LIMIT 1) AS {out}"
+    )
+
+
+def with_intel(df: DataFrame, intel: DataFrame) -> DataFrame:
+    """Zeek-intel joins (E5; [U] src/processors/zeek-intel.c): typed
+    indicator equi-joins — domain indicators vs the page domain, hash
+    indicators vs the extracted hash.  Broadcast both (intel feeds are
+    small dims)."""
+    dom = intel.where(F.col("itype") == "domain").select(
+        F.col("indicator").alias("domain"), F.col("isource").alias("intel_domain_src")
+    )
+    hsh = intel.where(F.col("itype") == "hash").select(
+        F.col("indicator").alias("hash"), F.col("isource").alias("intel_hash_src")
+    )
+    return df.join(F.broadcast(dom), "domain", "left").join(
+        F.broadcast(hsh), "hash", "left"
+    )
+
+
+def intel_select_sql() -> str:
+    """Oracle twin SELECT-list additions (requires intel VALUES joined
+    as `idom` / `ihash`)."""
+    return "idom.isource AS intel_domain_src, ihash.isource AS intel_hash_src"
+
+
 def with_classification(df: DataFrame, cls: DataFrame) -> DataFrame:
     """classtype → (priority, description); broadcast equi-join (E2)."""
     return df.join(F.broadcast(cls), "classtype", "left")

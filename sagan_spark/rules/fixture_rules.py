@@ -169,6 +169,43 @@ GEO_RANGES: list[tuple[str, int, str]] = [
     ("192.168.7.0", 24, "DMZ"),  # nested in 192.168/16
 ]
 
+# blacklist processor dim ([U] src/processors/blacklist.c) — CIDR lists
+BLACKLIST_RANGES: list[tuple[str, int, str]] = [
+    ("10.66.0.0", 16, "tor-exit"),
+    ("10.129.64.0", 18, "botnet-c2"),
+    ("192.168.7.0", 24, "dmz-watch"),
+]
+
+# zeek-intel analog ([U] src/processors/zeek-intel.c): typed indicators
+INTEL: list[tuple[str, str, str]] = [
+    ("d0.example.com", "domain", "feed-alpha"),
+    ("d3.example.com", "domain", "feed-alpha"),
+    ("d7.example.com", "domain", "feed-beta"),
+    # md5(doc_id) for doc_ids 0/5/10 — present via the pages hash= trigger
+    ("cfcd208495d565ef66e7dff9f98764da", "hash", "feed-hashes"),
+    ("e4da3b7fbbce2345d7772b0674a318d5", "hash", "feed-hashes"),
+    ("d3d9446802a44259755d38e6d163e820", "hash", "feed-hashes"),
+]
+
+
+def blacklist_rows() -> list[tuple[int, int, int, str]]:
+    out = []
+    for cidr, plen, name in BLACKLIST_RANGES:
+        start = ip_to_long(cidr)
+        out.append((start, start + (1 << (32 - plen)) - 1, plen, name))
+    return out
+
+
+def blacklist_values_sql() -> str:
+    rows = ", ".join(f"({s}, {e}, '{n}')" for s, e, _p, n in blacklist_rows())
+    return f"(VALUES {rows}) AS bl(net_start, net_end, list_name)"
+
+
+def intel_values_sql() -> str:
+    rows = ", ".join(f"('{i}', '{t}', '{s}')" for i, t, s in INTEL)
+    return f"(VALUES {rows}) AS intel(indicator, itype, isource)"
+
+
 # program→proto map analog ([U] parse_proto_program; keyed on `source`)
 PROGRAM_PROTO: list[tuple[str, str]] = [
     ("src0", "tcp"),
