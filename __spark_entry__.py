@@ -94,6 +94,36 @@ def _q_blacklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.where(F.col("src_bl").isNotNull()).select("url", "sid", "src_bl")
 
 
+def _q_extract_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pipeline(spark)
+        .extracted(_pages(spark, sf_dir))
+        .where(F.col("sid") == 5000026)
+        .select("url", F.col("src_ip").alias("v6_src"), F.col("dst_ip").alias("v6_dst"))
+    )
+
+
+def _q_bluedot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.enrich.enrich import blacklist_dim_df, with_geo
+    from sagan_spark.rules.fixture_rules import bluedot_rows
+
+    df = _pipeline(spark).extracted(_pages(spark, sf_dir))
+    bd = blacklist_dim_df(spark, bluedot_rows())
+    out = with_geo(with_geo(df, bd, "src_ip", "bd_src"), bd, "dst_ip", "bd_dst")
+    return out.where(
+        F.col("bd_src").isNotNull() | F.col("bd_dst").isNotNull()
+    ).select("url", "sid", "bd_src", "bd_dst")
+
+
+def _q_routed_refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pipeline(spark)
+        .routed(_pages(spark, sf_dir))
+        .where(F.col("refs").isNotNull())
+        .select("url", "signature_id", "refs")
+    )
+
+
 def _q_intel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.enrich.enrich import with_intel
     from sagan_spark.rules.fixture_rules import INTEL
@@ -158,6 +188,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xbits_isnotset": _gate_urls(5000021),
         "flexbits_pair_isset": _gate_urls(5000024),
         "normalize_grok": _q_normalize,
+        "extract_fields_v6": _q_extract_v6,
+        "enrich_bluedot": _q_bluedot,
+        "routed_refs": _q_routed_refs,
         "enrich_blacklist": _q_blacklist,
         "enrich_intel": _q_intel,
         "sink_fast_lines": _q_fast_lines,
@@ -220,13 +253,32 @@ def oracle_sql() -> dict[str, str]:
         f"{g['nsrc_ip']} AS nsrc_ip, {g['ndst_ip']} AS ndst_ip FROM pages",
     }
 
-    from sagan_spark.enrich.enrich import blacklist_lateral_sql
+    from sagan_spark.enrich.enrich import blacklist_lateral_sql, bluedot_lateral_sql
     from sagan_spark.route.formats import fast_lines_sql
     from sagan_spark.route.stats import DOMAIN_STATS_SQL, bit_state_sql, stale_clients_sql
     from sagan_spark.rules.fixture_rules import (
         blacklist_values_sql,
+        bluedot_values_sql,
         fixture_rules,
         intel_values_sql,
+    )
+
+    out["extract_fields_v6"] = oracle_query(
+        "SELECT url, src_ip AS v6_src, dst_ip AS v6_dst FROM extracted "
+        "WHERE sid = 5000026",
+        rep=QUERY_REP,
+    )
+    out["enrich_bluedot"] = oracle_query(
+        "SELECT url, sid, bd_src, bd_dst FROM (SELECT url, sid, "
+        + bluedot_lateral_sql("src_ip", "bd_src", bluedot_values_sql())
+        + ", "
+        + bluedot_lateral_sql("dst_ip", "bd_dst", bluedot_values_sql())
+        + " FROM extracted) WHERE bd_src IS NOT NULL OR bd_dst IS NOT NULL",
+        rep=QUERY_REP,
+    )
+    out["routed_refs"] = oracle_query(
+        "SELECT url, signature_id, refs FROM routed WHERE refs IS NOT NULL",
+        rep=QUERY_REP,
     )
 
     out["enrich_blacklist"] = oracle_query(

@@ -211,21 +211,108 @@ def jaccard_verify(corpus: DataFrame, pairs: DataFrame, threshold: float = 0.5) 
     )
 
 
-def jaccard_pairs_sql(threshold: float = 0.5) -> str:
-    """Full tail (append after ``corpus_with() + lsh_ctes()``)."""
+def jaccard_ctes(threshold: float = 0.5) -> str:
+    """CTE continuation (append after ``lsh_ctes()``): sh, jpairs."""
     return f""",
 sh AS (
   SELECT doc_id, list_distinct({SHINGLES_SQL}) AS s FROM corpus
+),
+jpairs AS (
+  SELECT a, b, jac FROM (
+    SELECT p.a, p.b,
+      round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jac
+    FROM lsh_pairs p
+    JOIN sh sa ON sa.doc_id = p.a
+    JOIN sh sb ON sb.doc_id = p.b
+  )
+  WHERE jac >= {threshold}
+)""".strip()
+
+
+def jaccard_pairs_sql(threshold: float = 0.5) -> str:
+    """Full tail (append after ``corpus_with() + lsh_ctes()``)."""
+    return jaccard_ctes(threshold) + "\nSELECT a, b, jac FROM jpairs"
+
+
+# --- dedup clusters / keep-list --------------------------------------------
+
+
+def dedup_clusters(corpus: DataFrame, pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Connected components over the verified near-dup pair graph →
+    ``(doc_id, cluster, is_keeper)``: cluster = min doc_id reachable,
+    keeper = the row that survives dedup (the "which rows do I drop"
+    answer a training pipeline actually consumes).
+
+    Iterative min-label propagation: each round joins labels to the
+    symmetric edge list and takes the min neighbor label — one shuffle
+    per round, converging in graph-diameter rounds (near-dup clusters
+    are shallow; Zipf-hot nodes are just bigger groupBy groups, handled
+    by map-side partial min).  The driver loop stops when no label
+    changed — at most ``max_iter`` rounds as a runaway backstop.  Each
+    round's frame is persisted and the previous one unpersisted, so
+    lineage stays O(1) instead of growing by two joins per round."""
+    edges = pairs.select("a", "b")
+    sym = edges.unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = corpus.select("doc_id", F.col("doc_id").alias("cluster")).persist()
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                sym.join(
+                    labels.select(
+                        F.col("doc_id").alias("b"), F.col("cluster").alias("nc")
+                    ),
+                    "b",
+                )
+                .groupBy("a")
+                .agg(F.min("nc").alias("min_nbr"))
+                .withColumnRenamed("a", "doc_id")
+            )
+            new_labels = (
+                labels.join(nbr, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least("cluster", F.coalesce("min_nbr", "cluster")).alias("cluster"),
+                )
+                .persist()
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("cluster", "old"), "doc_id"
+                )
+                .where(F.col("cluster") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(
+            "doc_id", "cluster", (F.col("doc_id") == F.col("cluster")).alias("is_keeper")
+        )
+    finally:
+        # the returned frame re-reads the persisted labels; caller's
+        # action consumes it before the session ends (local runs) — do
+        # not unpersist the final frame here
+        pass
+
+
+def clusters_sql() -> str:
+    """DuckDB oracle tail (append after ``corpus_with(recursive) +
+    lsh_ctes() + jaccard_ctes()``): recursive reachability closure over
+    the verified-pair graph, min reachable node per doc — an
+    independent formulation of the engine's label propagation."""
+    return """,
+sym AS (SELECT a, b FROM jpairs UNION ALL SELECT b AS a, a AS b FROM jpairs),
+reach AS (
+  SELECT doc_id AS src, doc_id AS node FROM corpus
+  UNION
+  SELECT r.src, s.b AS node FROM reach r JOIN sym s ON r.node = s.a
 )
-SELECT a, b, jac FROM (
-  SELECT p.a, p.b,
-    round(CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-          / (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))), 6) AS jac
-  FROM lsh_pairs p
-  JOIN sh sa ON sa.doc_id = p.a
-  JOIN sh sb ON sb.doc_id = p.b
-)
-WHERE jac >= {threshold}
+SELECT src AS doc_id, min(node) AS cluster,
+       (src = min(node)) AS is_keeper
+FROM reach GROUP BY src
 """.strip()
 
 

@@ -34,6 +34,18 @@ def _q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_verify(corpus, pairs)
 
 
+def _q_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_corpus(spark, sf_dir)
+    pairs = dedup.jaccard_verify(
+        corpus, dedup.lsh_candidate_pairs(dedup.minhash_signatures(corpus))
+    )
+    return dedup.dedup_clusters(corpus, pairs)
+
+
+def _q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.lsh_multiprobe_topk(similarity.load_embeddings(spark, sf_dir))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(load_corpus(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -80,6 +92,8 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_signatures": _q_minhash_sigs,
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_jaccard,
+        "dedup_clusters": _q_clusters,
+        "ann_lsh_multiprobe": _q_ann_multiprobe,
         "dedup_simhash_values": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_bruteforce_cosine": _q_ann_brute,
@@ -102,6 +116,11 @@ def datapipe_oracles() -> dict[str, str]:
         "dedup_minhash_signatures": cw + "\n" + dedup.minhash_sig_sql(),
         "dedup_minhash_lsh_pairs": cw + dedup.lsh_ctes() + "\n" + dedup.LSH_PAIRS_SELECT,
         "dedup_ngram_jaccard": cw + dedup.lsh_ctes() + dedup.jaccard_pairs_sql(),
+        "dedup_clusters": cw.replace("WITH ", "WITH RECURSIVE ", 1)
+        + dedup.lsh_ctes()
+        + dedup.jaccard_ctes()
+        + dedup.clusters_sql(),
+        "ann_lsh_multiprobe": similarity.lsh_multiprobe_sql(),
         "dedup_simhash_values": cw + "\n" + dedup.simhash_sql(),
         "dedup_simhash_pairs": cw + dedup.simhash_pairs_sql(),
         "ann_bruteforce_cosine": similarity.brute_force_sql(),

@@ -40,10 +40,18 @@ def _fake_decode(payload: bytes, md5hex: str) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def media_features(pages: DataFrame) -> DataFrame:
+def media_features(pages: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas over (url, html) → typed media metadata.  Arrow
     batches; only the two needed columns are scanned (column pruning —
-    the wide binary column never leaves this stage)."""
+    the wide binary column never leaves this stage).
+
+    ``decoder`` is the injection seam: any ``(payload: bytes, md5hex:
+    str) -> (width, height, n_frames)`` callable (e.g. a PIL/ffmpeg
+    wrapper in production).  Defaults to the clearly-marked
+    :func:`_fake_decode`.  The seam is what tests/test_multimodal_seam.py
+    pins — the component's contract is the plumbing (schema, Arrow batch
+    shape, pruned scan), not the arithmetic of the default stub."""
+    decode = decoder or _fake_decode
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
@@ -52,7 +60,7 @@ def media_features(pages: DataFrame) -> DataFrame:
             payloads = pdf["html"]
             md5s = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
             feats = [
-                _fake_decode(bytes(b), h) for b, h in zip(payloads, md5s)
+                decode(bytes(b), h) for b, h in zip(payloads, md5s)
             ]
             yield pd.DataFrame(
                 {
@@ -66,6 +74,29 @@ def media_features(pages: DataFrame) -> DataFrame:
             )
 
     return pages.select("url", "html").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+BATCH_STATS_SCHEMA = "n_rows long, total_bytes long, max_bytes long"
+
+
+def media_batch_stats(pages: DataFrame) -> DataFrame:
+    """One row per Arrow batch: (n_rows, total_bytes, max_bytes) — the
+    observable batch-shape contract (rows per batch bounded by
+    ``spark.sql.execution.arrow.maxRecordsPerBatch``; bytes are what a
+    real decoder's memory footprint scales with)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            lens = pdf["html"].map(len)
+            yield pd.DataFrame(
+                {
+                    "n_rows": [len(pdf)],
+                    "total_bytes": [int(lens.sum()) if len(pdf) else 0],
+                    "max_bytes": [int(lens.max()) if len(pdf) else 0],
+                }
+            )
+
+    return pages.select("url", "html").mapInPandas(batches, schema=BATCH_STATS_SCHEMA)
 
 
 def media_features_sql() -> str:

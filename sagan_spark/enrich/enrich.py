@@ -28,19 +28,39 @@ def flatten_ranges(
     rows: list[tuple[int, int, int, str]],
 ) -> list[tuple[int, int, str]]:
     """(start, end, prefix_len, cc) overlapping → disjoint (start, end, cc),
-    longest prefix wins on overlap."""
+    longest prefix wins on overlap.
+
+    O(n log n) boundary sweep with a max-heap of active intervals
+    (lazy expiry): real GeoIP2 tables carry ~400 k CIDRs, for which the
+    naive per-segment scan is O(bounds × rows) ≈ 10¹¹ comparisons of
+    driver time.  Tie-break on equal prefix length = first row in input
+    order (heap key ``(-plen, input_idx)``), matching the naive spec.
+    ``tests/test_enrich_sweep.py`` pins equivalence to the naive
+    implementation on random nested CIDR sets and a 100 k-range timing
+    bound."""
+    if not rows:
+        return []
+    import heapq
+
     bounds = sorted({b for s, e, _, _ in rows for b in (s, e + 1)})
+    by_start = sorted(range(len(rows)), key=lambda i: rows[i][0])
+    heap: list[tuple[int, int, int, str]] = []  # (-plen, idx, end, cc)
     out: list[tuple[int, int, str]] = []
+    i = 0
     for lo, hi in zip(bounds, bounds[1:]):
-        best = None
-        for s, e, plen, cc in rows:
-            if s <= lo and hi - 1 <= e and (best is None or plen > best[0]):
-                best = (plen, cc)
-        if best is not None:
-            if out and out[-1][1] == lo - 1 and out[-1][2] == best[1]:
-                out[-1] = (out[-1][0], hi - 1, best[1])
+        while i < len(by_start) and rows[by_start[i]][0] <= lo:
+            idx = by_start[i]
+            s, e, plen, cc = rows[idx]
+            heapq.heappush(heap, (-plen, idx, e, cc))
+            i += 1
+        while heap and heap[0][2] < lo:  # expired under the sweep line
+            heapq.heappop(heap)
+        if heap:
+            cc = heap[0][3]
+            if out and out[-1][1] == lo - 1 and out[-1][2] == cc:
+                out[-1] = (out[-1][0], hi - 1, cc)
             else:
-                out.append((lo, hi - 1, best[1]))
+                out.append((lo, hi - 1, cc))
     return out
 
 
@@ -64,22 +84,25 @@ def geo_dim_df(spark: SparkSession, rows: list[tuple[int, int, int, str]]) -> Da
 
 
 def ip_to_long_col(ip_col: str) -> Column:
+    """IPv4 dotted-quad → long.  NULL (not an error) for anything else —
+    IPv6 strings flow through the geo join unresolved, so the casts and
+    element accesses must be the TRY_ forms (ANSI-safe)."""
     p = F.split(F.col(ip_col), r"\.")
-    return (
-        p[0].cast("long") * 16777216
-        + p[1].cast("long") * 65536
-        + p[2].cast("long") * 256
-        + p[3].cast("long")
-    )
+
+    def seg(i: int) -> Column:
+        return F.try_element_at(p, F.lit(i)).try_cast("long")
+
+    return seg(1) * 16777216 + seg(2) * 65536 + seg(3) * 256 + seg(4)
 
 
 def ip_to_long_sql(ip: str) -> str:
-    """DuckDB twin of :func:`ip_to_long_col` (string_split is 1-based)."""
+    """DuckDB twin of :func:`ip_to_long_col` (string_split is 1-based,
+    NULL out of bounds; TRY_CAST mirrors Spark try_cast)."""
     return (
-        f"(string_split({ip}, '.')[1]::BIGINT * 16777216 + "
-        f"string_split({ip}, '.')[2]::BIGINT * 65536 + "
-        f"string_split({ip}, '.')[3]::BIGINT * 256 + "
-        f"string_split({ip}, '.')[4]::BIGINT)"
+        f"(TRY_CAST(string_split({ip}, '.')[1] AS BIGINT) * 16777216 + "
+        f"TRY_CAST(string_split({ip}, '.')[2] AS BIGINT) * 65536 + "
+        f"TRY_CAST(string_split({ip}, '.')[3] AS BIGINT) * 256 + "
+        f"TRY_CAST(string_split({ip}, '.')[4] AS BIGINT))"
     )
 
 
@@ -134,6 +157,16 @@ def blacklist_lateral_sql(ip: str, out: str, bl_values: str) -> str:
     return (
         f"(SELECT list_name FROM {bl_values} "
         f"WHERE {ipl} >= bl.net_start AND {ipl} <= bl.net_end LIMIT 1) AS {out}"
+    )
+
+
+def bluedot_lateral_sql(ip: str, out: str, bd_values: str) -> str:
+    """Oracle twin for the bluedot-style static reputation lookup (E6):
+    plain range probe, independent of the engine's bucketing."""
+    ipl = ip_to_long_sql(ip)
+    return (
+        f"(SELECT category FROM {bd_values} "
+        f"WHERE {ipl} >= bd.net_start AND {ipl} <= bd.net_end LIMIT 1) AS {out}"
     )
 
 

@@ -17,9 +17,15 @@ from pyspark.sql import functions as F
 
 def salted_count(df: DataFrame, keys: list[str], salt_n: int = 16) -> DataFrame:
     """groupBy(keys).count() with a salt stage: phase 1 aggregates
-    (keys, salt) partials, phase 2 merges per key.  Result column: n."""
+    (keys, salt) partials, phase 2 merges per key.  Result column: n.
+
+    The salt is ``xxhash64`` of the WHOLE row (all columns + seed):
+    deterministic across task retries (unlike
+    monotonically_increasing_id, whose value depends on task/partition
+    assignment), yet still fans a hot *key*'s rows across ``salt_n``
+    reducers because the non-key columns vary within the key."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_n))
+        "_salt", F.pmod(F.xxhash64(*df.columns, F.lit(42)), F.lit(salt_n))
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
     return partial.groupBy(*keys).agg(F.sum("_pn").cast("long").alias("n"))

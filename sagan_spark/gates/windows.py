@@ -25,10 +25,41 @@ window) and AQE handles residual skew.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sagan_spark.rules.model import Rule
+
+
+def stage_frame(df: DataFrame, name: str = "stage") -> DataFrame:
+    """Materialize a frame once and return a scan over it.
+
+    Default mode writes a staged parquet snapshot and re-reads it (the
+    cluster-scale shape: an Iceberg staging table).  ``persist`` mode
+    keeps the r1 in-memory cache.  Measured at 320k pages/local[32]:
+    the persist barrier fed 5 downstream branch reads through the block
+    -manager cache — branch stages racing to materialize the same
+    blocks serialized on cache locks, and the cached blocks promoted to
+    old gen, driving 30s+ ParallelGC full collections on later runs.
+    The staged write is an explicit barrier with none of that: one
+    parallel write, then plain splittable scans.
+    """
+    mode = os.environ.get("SPARK_GRAFT_GATE_STAGING", "parquet")
+    if mode == "persist":
+        return df.persist()
+    # staging defaults to tmpfs when present: the barrier write is
+    # bandwidth-bound, and a single virtio disk serializes 32 writer
+    # tasks (measured: identical stage wall at 8 and 32 cores on /tmp;
+    # scales on /dev/shm).  The cluster analog is fast staging storage
+    # (local NVMe / object store with many channels), not one spindle.
+    default_base = "/dev/shm/sagan_stage" if os.path.isdir("/dev/shm") else "/tmp/sagan_stage"
+    base = os.environ.get("SPARK_GRAFT_STAGE_DIR", default_base)
+    path = os.path.join(base, f"{name}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 TRACK_CASE = {
     "by_src": "src_ip",
@@ -118,7 +149,7 @@ def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> Data
     gated_sids = [r.sid for r in rules if r.after or r.threshold]
     if not gated_sids:
         return df
-    df = df.persist()
+    df = stage_frame(df, "pregate")
     rest = df.where(~F.col("sid").isin(gated_sids))
     df = df.where(F.col("sid").isin(gated_sids))
 

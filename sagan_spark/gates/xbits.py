@@ -85,7 +85,9 @@ def apply_bit_tests(
     # all of them) down to that persisted frame — a second
     # materialization of the same ~10×-exploded stream buys nothing.
     if persist:
-        df = df.persist()
+        from sagan_spark.gates.windows import stage_frame
+
+        df = stage_frame(df, "bitbase")
     writes_df = spark.createDataFrame(
         writes, schema="sid long, name string, track string, op string, expire int"
     )

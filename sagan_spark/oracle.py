@@ -30,6 +30,15 @@ def pipeline_ctes(rules: list[Rule] | None = None, rep: int = 8) -> str:
     """``WITH pages AS (...), ..., routed AS (...)`` chain."""
     rules = list(rules) if rules is not None else list(fixture_rules())
     comp = CompiledRules(rules)
+    ref_rows = [(r.sid, "|".join(r.references)) for r in rules if r.references]
+    if ref_rows:
+        refs_vals = ", ".join(f"({sid}, '{s}')" for sid, s in ref_rows)
+        refs_join = (
+            f"LEFT JOIN (VALUES {refs_vals}) AS refs(sid, refs) ON bgated.sid = refs.sid"
+        )
+        refs_col = "refs.refs"
+    else:
+        refs_join, refs_col = "", "CAST(NULL AS VARCHAR) AS refs"
     return f"""
 WITH pages AS (
 {pages_cte(rep)}
@@ -64,9 +73,9 @@ bgated AS (
 {bit_tests_sql(rules, "wgated")}
 ),
 routed AS (
-  SELECT sink, sid AS signature_id, url, domain, warc_epoch, src_ip, dst_ip,
-         port, proto, hash, src_cc, dst_cc, classtype, priority
-  FROM bgated
+  SELECT sink, bgated.sid AS signature_id, url, domain, warc_epoch, src_ip, dst_ip,
+         port, proto, hash, src_cc, dst_cc, classtype, priority, {refs_col}
+  FROM bgated {refs_join}
 )
 """.strip()
 

@@ -107,8 +107,21 @@ def load_pages(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
             F.lit("}"),
         ),
     ).otherwise(F.lit(""))
+    # v6 triggers: one full-form + one ::-compressed address (decimal
+    # digits are valid hex chars; %9999 keeps groups ≤4 chars)
+    v6 = F.when(
+        doc_id % 6 == 0,
+        F.concat(
+            F.lit(" v6=2001:db8:0:0:"),
+            _s(doc_id % 9999),
+            F.lit(":"),
+            _s((rep_c * 13) % 9999),
+            F.lit(":0:1 v6dst=2001:db8::"),
+            _s(doc_id % 250),
+        ),
+    ).otherwise(F.lit(""))
 
-    text = F.concat(F.col("text"), srcs, dsts, port, proto, hsh, js)
+    text = F.concat(F.col("text"), srcs, dsts, port, proto, hsh, js, v6)
 
     return df.select(
         url.alias("url"),
@@ -142,6 +155,7 @@ SELECT
     || CASE d.doc_id % 4 WHEN 0 THEN ' proto tcp' WHEN 1 THEN ' proto udp' WHEN 2 THEN ' proto icmp' ELSE '' END
     || CASE WHEN d.doc_id % 5 = 0 THEN ' hash=' || md5(CAST(d.doc_id AS VARCHAR)) ELSE '' END
     || CASE WHEN d.doc_id % 2 = 0 THEN ' {{"svc": "s' || (d.doc_id % 7) || '", "code": ' || ((d.doc_id % 9) * 100) || '}}' ELSE '' END
+    || CASE WHEN d.doc_id % 6 = 0 THEN ' v6=2001:db8:0:0:' || (d.doc_id % 9999) || ':' || ((r.rep * 13) % 9999) || ':0:1 v6dst=2001:db8::' || (d.doc_id % 250) ELSE '' END
     AS text,
   d.lang,
   d.source,
@@ -176,7 +190,7 @@ def pages_table(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
     import hashlib
     import os
 
-    key = hashlib.md5(f"{sf_dir}|{rep}|v3".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{rep}|v4".encode()).hexdigest()[:12]
     path = f"/tmp/sagan_pages_cache/{key}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):

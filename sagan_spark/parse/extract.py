@@ -13,11 +13,12 @@ Design for scale:
     Python branch per row.
   * Same SQL is emitted for the DuckDB oracle (dual dialect).
 
-IPv6: the reference also scans v6 ([U] src/parsers ip path); the
-fixture corpus is v4-only, so v6 stays behind ``IPV6_RE`` — enable by
-swapping ``IP_SCAN_RE`` for the alternation (colon-containing JSON in
-page text makes naive v6 alternation false-positive-prone; production
-would anchor on separators).
+IPv6: ``IP_SCAN_RE`` is the v4|v6 alternation ([U] src/parsers ip
+path): full 8-group form plus ::-compressed.  Colon-bearing JSON in
+page text cannot false-positive — every JSON colon is preceded by a
+quote, which breaks the hex-group requirement.  v6 strings pass
+through the geo join unresolved (ip_to_long yields NULL → cc NULL),
+matching the reference's no-GeoIP-record path.
 """
 
 from __future__ import annotations
@@ -28,8 +29,17 @@ from pyspark.sql import functions as F
 from sagan_spark.rules.model import Rule
 
 IPV4_RE = r"(\d{1,3}\.){3}\d{1,3}"
-IPV6_RE = r"([0-9a-fA-F]{1,4}:){2,7}[0-9a-fA-F]{1,4}"
-IP_SCAN_RE = IPV4_RE
+# v6: full 8-group form, plus ::-compressed (one double-colon).  Both
+# alternatives live in the RE2 ∩ Java-regex ∩ Python-re subset (no
+# lookarounds — RE2 lacks them); alternation order matters and is
+# identical in all three engines (leftmost-first).
+IPV6_FULL_RE = r"([0-9a-fA-F]{1,4}:){7}[0-9a-fA-F]{1,4}"
+IPV6_COMP_RE = r"([0-9a-fA-F]{1,4}:){1,6}(:[0-9a-fA-F]{1,4}){1,6}"
+IPV6_RE = f"{IPV6_FULL_RE}|{IPV6_COMP_RE}"
+# One scan collects v4 and v6 occurrences in text order; per-rule
+# parse_src_ip/parse_dst_ip indexes address the combined list, exactly
+# like the reference's single IP parser pass ([U] src/parsers).
+IP_SCAN_RE = f"{IPV4_RE}|{IPV6_RE}"
 PORT_RE = r"port (\d{1,5})"
 PROTO_RE = r"proto (tcp|udp|icmp)"
 HASH_RES = {

@@ -61,6 +61,15 @@ class Pipeline:
         self.cls = classification_df(spark)
         self.geo = geo_dim_df(spark, geo_rows())
         self.pmap = proto_map_df(spark)
+        # E3: reference URLs attached to routed alerts ([U] src/
+        # reference.c) — tiny broadcast dim joined at the routing stage
+        # so the strings don't ride through the gate shuffles
+        ref_rows = [(r.sid, "|".join(r.references)) for r in self.rules if r.references]
+        self.refs = (
+            spark.createDataFrame(ref_rows, schema="sid long, refs string")
+            if ref_rows
+            else None
+        )
 
     # --- stages -----------------------------------------------------------
     def matched(self, pages: DataFrame) -> DataFrame:
@@ -120,14 +129,28 @@ class Pipeline:
         return apply_window_gates(pruned, self.gcfg, self.rules)
 
     def gated(self, pages: DataFrame) -> DataFrame:
+        # persist=True stages the window-gated stream once (parquet
+        # snapshot): the bit-test's three branches (events/testers/
+        # pass-through) then read cheap scans instead of re-running the
+        # window computation per branch.  (The old persist=False trade
+        # targeted the r1 in-memory cache, where a second cache of the
+        # exploded stream cost more than the pushed-filter recompute;
+        # with staged-parquet barriers the recompute is the expensive
+        # side — measured 3× window re-evaluation, ~10s at 320k pages.)
         return apply_bit_tests(
-            self.window_gated(pages), self.rules, self.spark, persist=False
+            self.window_gated(pages), self.rules, self.spark, persist=True
         )
 
     def routed(self, pages: DataFrame) -> DataFrame:
         """Alert stream with routing metadata (K7): every gated alert
-        goes to its rule's sink; ``signature_id`` = sid."""
-        return self.gated(pages).select(
+        goes to its rule's sink; ``signature_id`` = sid; ``refs`` =
+        '|'-joined reference list (E3)."""
+        g = self.gated(pages)
+        if self.refs is not None:
+            g = g.join(F.broadcast(self.refs), "sid", "left")
+        else:
+            g = g.withColumn("refs", F.lit(None).cast("string"))
+        return g.select(
             "sink",
             F.col("sid").alias("signature_id"),
             "url",
@@ -142,6 +165,7 @@ class Pipeline:
             "dst_cc",
             "classtype",
             "priority",
+            "refs",
         )
 
     def sink_counts(self, pages: DataFrame) -> DataFrame:

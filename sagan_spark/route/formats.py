@@ -60,6 +60,7 @@ def eve_json(routed: DataFrame) -> DataFrame:
             F.col("signature_id").alias("signature_id"),
             F.col("classtype").alias("category"),
             F.col("priority").alias("severity"),
+            F.split(F.col("refs"), r"\|").alias("references"),
         ).alias("alert"),
         F.col("url"),
         F.col("domain"),

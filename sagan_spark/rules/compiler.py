@@ -75,41 +75,68 @@ def json_get(js: str, path: str, dialect: str) -> str:
 
 
 def contents_sql(contents: tuple[ContentMatch, ...], text: str, dialect: str) -> list[str]:
-    """Content-chain conditions ([U] src/content.c).  Semantics (ours,
-    fixture-defining): a match must *start* inside the window —
-    absolute window [offset+1, offset+depth] for offset/depth, relative
-    window [prev_end+distance, prev_end+distance+within-1] for
+    """Content-chain conditions ([U] src/content.c + src/meta-content.c).
+    Semantics (ours, fixture-defining): a match must *start* inside the
+    window — absolute window [offset+1, offset+depth] for offset/depth,
+    relative window [prev_end+distance, prev_end+distance+within-1] for
     distance/within.  Negated contents do not advance the chain
     position.  Positions are 1-based character indexes (both engines
-    are char-addressed)."""
+    are char-addressed).
+
+    A link with ``alt_patterns`` (meta_content expansion) matches if ANY
+    alternative matches inside the window; the chain advances past the
+    FIRST alternative (declaration order) that matched — emitted as a
+    CASE over the per-alternative windows."""
     conds: list[str] = []
     prev_end = "1"  # 1-based index of the char after the previous match
     for c in contents:
         hay = f"lower({text})" if c.nocase else text
-        pat = c.pattern.lower() if c.nocase else c.pattern
-        lit = sql_str(pat, dialect)
         if c.offset is not None or c.depth is not None:
-            start = str((c.offset or 0) + 1)
-            rel = f"instr(substring({hay}, {start}), {lit})"
-            ok = f"({rel} > 0" + (
-                f" AND {rel} <= {c.depth})" if c.depth is not None else ")"
-            )
+            start, bound = str((c.offset or 0) + 1), c.depth
         elif c.distance is not None or c.within is not None:
-            start = f"({prev_end} + {c.distance or 0})"
-            rel = f"instr(substring({hay}, {start}), {lit})"
-            ok = f"({rel} > 0" + (
-                f" AND {rel} <= {c.within})" if c.within is not None else ")"
+            start, bound = f"({prev_end} + {c.distance or 0})", c.within
+        else:
+            start, bound = "1", None
+        rels: list[tuple[str, int]] = []
+        oks: list[str] = []
+        for p in (c.pattern, *c.alt_patterns):
+            pat = p.lower() if c.nocase else p
+            lit = sql_str(pat, dialect)
+            rel = (
+                f"instr({hay}, {lit})"
+                if start == "1"
+                else f"instr(substring({hay}, {start}), {lit})"
             )
-        else:
-            start = "1"
-            rel = f"instr({hay}, {lit})"
-            ok = f"({rel} > 0)"
+            oks.append(
+                f"({rel} > 0" + (f" AND {rel} <= {bound})" if bound is not None else ")")
+            )
+            rels.append((rel, len(pat)))
+        any_ok = oks[0] if len(oks) == 1 else "(" + " OR ".join(oks) + ")"
         if c.negated:
-            conds.append(f"(NOT {ok})")
+            conds.append(f"(NOT {any_ok})")
         else:
-            conds.append(ok)
-            prev_end = f"({start} + {rel} - 1 + {len(pat)})"
+            conds.append(any_ok)
+            if len(rels) == 1:
+                rel, plen = rels[0]
+                prev_end = f"({start} + {rel} - 1 + {plen})"
+            else:
+                whens = " ".join(
+                    f"WHEN {ok} THEN ({start} + {rel} - 1 + {plen})"
+                    for ok, (rel, plen) in zip(oks, rels)
+                )
+                prev_end = f"(CASE {whens} END)"
     return conds
+
+
+def match_text_sql(rule: Rule, dialect: str, text: str = "text") -> str:
+    """The content/pcre haystack: the message, with the program appended
+    when the rule carries ``append_program`` (P6; [U] engine.c).  JSON
+    extraction always reads the original message."""
+    if not rule.append_program:
+        return text
+    if dialect == SPARK:
+        return f"concat({text}, ' ', source)"
+    return f"({text} || ' ' || source)"
 
 
 def builtin_sql(rule: Rule, dialect: str, text: str = "text") -> str:
@@ -123,6 +150,15 @@ def builtin_sql(rule: Rule, dialect: str, text: str = "text") -> str:
     if rule.source:
         c = "source IN (" + ", ".join(sql_str(v, dialect) for v in rule.source) + ")"
         conds.append(f"(NOT {c})" if rule.source_negated else c)
+    if rule.syslog_tag:
+        c = (
+            "("
+            + " OR ".join(
+                f"(instr(source, {sql_str(v, dialect)}) > 0)" for v in rule.syslog_tag
+            )
+            + ")"
+        )
+        conds.append(f"(NOT {c})" if rule.syslog_tag_negated else c)
     if rule.alert_hours is not None:
         h = idiv("(warc_epoch % 86400)", "3600", dialect)
         conds.append(f"({h} >= {rule.alert_hours[0]} AND {h} < {rule.alert_hours[1]})")
@@ -130,7 +166,7 @@ def builtin_sql(rule: Rule, dialect: str, text: str = "text") -> str:
         dow = f"(({idiv('warc_epoch', '86400', dialect)} + 3) % 7 + 1)"
         conds.append(f"({dow} IN ({', '.join(str(d) for d in rule.alert_days)}))")
 
-    conds.extend(contents_sql(rule.contents, text, dialect))
+    conds.extend(contents_sql(rule.contents, match_text_sql(rule, dialect, text), dialect))
 
     if rule.needs_json():
         js = json_blob(text, dialect)
@@ -173,8 +209,9 @@ def regex_sql(rule: Rule, dialect: str = DUCKDB, text: str = "text") -> str:
     the RE2 ∩ Python-re common subset — SURVEY.md §7 risk list)."""
     conds = []
     js = json_blob(text, dialect)
+    mt = match_text_sql(rule, dialect, text)
     for r in rule_regexes(rule):
-        target = json_get(js, r.json_path, dialect) if r.json_path else text
+        target = json_get(js, r.json_path, dialect) if r.json_path else mt
         flags = f", {sql_str(r.flags, dialect)}" if r.flags else ""
         c = f"coalesce(regexp_matches({target}, {sql_str(r.pattern, dialect)}{flags}), FALSE)"
         conds.append(f"(NOT {c})" if r.negated else c)
@@ -269,6 +306,9 @@ class CompiledRules:
                 if req.json_path and req.json_path not in paths:
                     paths.append(req.json_path)
         self.json_pcre_paths = paths
+        # append_program rules match regexes on text+' '+source — fed to
+        # the UDF as one extra JVM-computed value column
+        self.has_append_regex = any(r.append_program for r in self.regex_rules)
 
     def with_sids(self, df: DataFrame) -> DataFrame:
         """Append ``sids: array<bigint>`` of matching rules per row."""
@@ -278,10 +318,15 @@ class CompiledRules:
         }
 
         # value columns for the regex UDFs: text + json-path extracts
+        # (+ the appended-program haystack when any regex rule needs it)
         jv_cols = [
             F.expr(json_get(json_blob(text, SPARK), p, SPARK)) for p in self.json_pcre_paths
         ]
         path_argidx = {p: 1 + i for i, p in enumerate(self.json_pcre_paths)}
+        append_argidx = None
+        if self.has_append_regex:
+            jv_cols.append(F.concat(F.col(text), F.lit(" "), F.col("source")))
+            append_argidx = 1 + len(self.json_pcre_paths)
 
         regex_ok: dict[int, Column] = {}
         for start in range(0, len(self.regex_rules), self.BATCH):
@@ -289,13 +334,18 @@ class CompiledRules:
             gate = F.lit(0).cast("long")
             spec: list[tuple[int, list[tuple[str, int, bool, int]]]] = []
             for bit, r in enumerate(chunk):
-                gate = gate + (builtin[r.sid].cast("long") * F.lit(1 << bit))
+                # shiftleft, not lit(1 << bit): bit 63 of a full 64-rule
+                # batch overflows a signed-long literal; the shifted
+                # sign-bit value still ORs in correctly (disjoint bits,
+                # two's-complement addition carries nothing)
+                gate = gate + F.shiftleft(builtin[r.sid].cast("long"), bit)
+                text_idx = append_argidx if r.append_program else 0
                 reqs = [
                     (
                         q.pattern,
                         _py_flags(q.flags),
                         q.negated,
-                        0 if q.json_path is None else path_argidx[q.json_path],
+                        text_idx if q.json_path is None else path_argidx[q.json_path],
                     )
                     for q in rule_regexes(r)
                 ]
@@ -309,7 +359,18 @@ class CompiledRules:
             F.when(regex_ok.get(r.sid, builtin[r.sid]), F.lit(r.sid).cast("long"))
             for r in self.rules
         ]
-        return df.withColumn("sids", F.array_compact(F.array(*sid_slots)))
+        # chunk the sid array at 64 slots: one flat array(when...) over
+        # thousands of rules produces a single giant codegen method that
+        # trips Janino's 64KB limit into interpreted mode; concat of
+        # per-chunk array_compact keeps each method small (order
+        # preserved — rule order within and across chunks).  Verified by
+        # tests/test_rules_at_scale.py at 2k rules.
+        chunks = [
+            F.array_compact(F.array(*sid_slots[k : k + self.BATCH]))
+            for k in range(0, len(sid_slots), self.BATCH)
+        ]
+        sids = F.concat(*chunks) if len(chunks) > 1 else chunks[0]
+        return df.withColumn("sids", sids)
 
     def hits(self, df: DataFrame) -> DataFrame:
         """Explode to one row per (page, matching rule): the alert

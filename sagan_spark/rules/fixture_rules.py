@@ -23,6 +23,7 @@ RULESET = r"""
 alert syslog any any -> any any (msg:"flagship src-ip page"; lang:"en"; \
   content:"spark"; pcre:"/src=10\.\d{1,3}\.\d{1,3}\.\d{1,3}/"; \
   parse_src_ip: 1; parse_port; default_src_port: 514; \
+  reference:url,sagan.quadrantsec.com/rules/5000001; \
   classtype:web-anomaly; sink:"fast"; sid:5000001; rev:2;)
 
 # --- content nocase (M1)
@@ -92,6 +93,8 @@ alert syslog any any -> any any (msg:"join limited"; \
 # --- after (A1): fire after >3 per domain in rolling 1h
 alert syslog any any -> any any (msg:"scan burst"; \
   content:"scan"; after: track by_domain, count 3, seconds 3600; \
+  reference:url,attack.mitre.org/techniques/T1595; \
+  reference:cve,2024-0001; \
   classtype:scan-detect; sink:"alert"; sid:5000017;)
 
 # --- threshold suppress (A3): drop once >5 per domain in rolling 1h
@@ -134,6 +137,28 @@ alert syslog any any -> any any (msg:"key with defaults"; \
   content:"key"; parse_port; default_src_port: 514; \
   parse_proto_program; default_proto: none; \
   classtype:policy-violation; sink:"fast"; sid:5000025;)
+
+# --- IPv6 extraction (X1 v6 path): ips[3]=full-form src, ips[4]=::-compressed dst
+alert syslog any any -> any any (msg:"v6-bearing page"; content:"v6="; \
+  parse_src_ip: 3; parse_dst_ip: 4; classtype:web-anomaly; sink:"eve"; sid:5000026;)
+
+# --- append_program (P6): content+pcre match against text+' '+program
+alert syslog any any -> any any (msg:"program appended"; append_program; \
+  content:"src3"; pcre:"/ src3$/"; classtype:policy-violation; sink:"fast"; sid:5000027;)
+
+# --- syslog_tag (P6): substring match on the tag/program
+alert syslog any any -> any any (msg:"tagged src5 or src7"; syslog_tag:"src5|src7"; \
+  content:"data"; classtype:policy-violation; sink:"alert"; sid:5000028;)
+
+# --- meta_content with absolute window (M5 meta_offset/meta_depth)
+alert syslog any any -> any any (msg:"early word set"; \
+  meta_content:"%sagan%","batch","join","scan"; meta_offset:0; meta_depth:120; \
+  classtype:web-anomaly; sink:"fast"; sid:5000029;)
+
+# --- meta_content chained relative window (M5 meta_distance/meta_within)
+alert syslog any any -> any any (msg:"proto word right after"; content:" proto "; \
+  meta_content:"%sagan%","tcp","udp"; meta_distance:0; meta_within:4; \
+  classtype:scan-detect; sink:"eve"; sid:5000030;)
 """
 
 
@@ -175,6 +200,29 @@ BLACKLIST_RANGES: list[tuple[str, int, str]] = [
     ("10.129.64.0", 18, "botnet-c2"),
     ("192.168.7.0", 24, "dmz-watch"),
 ]
+
+# bluedot-style static IP reputation dim (E6; [U] src/processors/
+# bluedot.c queries a live API — the batch re-expression is a static
+# CIDR→category lookup, same broadcast bucketed-equi-join as E1/E4)
+BLUEDOT_RANGES: list[tuple[str, int, str]] = [
+    ("10.3.0.0", 16, "malicious"),
+    ("10.77.0.0", 16, "proxy"),
+    ("192.168.40.0", 21, "tor"),
+]
+
+
+def bluedot_rows() -> list[tuple[int, int, int, str]]:
+    out = []
+    for cidr, plen, cat in BLUEDOT_RANGES:
+        start = ip_to_long(cidr)
+        out.append((start, start + (1 << (32 - plen)) - 1, plen, cat))
+    return out
+
+
+def bluedot_values_sql() -> str:
+    rows = ", ".join(f"({s}, {e}, '{c}')" for s, e, _p, c in bluedot_rows())
+    return f"(VALUES {rows}) AS bd(net_start, net_end, category)"
+
 
 # zeek-intel analog ([U] src/processors/zeek-intel.c): typed indicators
 INTEL: list[tuple[str, str, str]] = [

@@ -30,6 +30,12 @@ class ContentMatch:
     depth: int | None = None  # absolute: match must start within first `depth` bytes window
     distance: int | None = None  # relative: gap >= distance from prev match end
     within: int | None = None  # relative: match must start within `within` of prev end
+    # meta_content expansion ([U] src/meta-content.c): when non-empty,
+    # this chain link matches if ANY of (pattern, *alt_patterns) matches
+    # inside the window; the chain advances past the FIRST (declaration
+    # order) alternative that matched.  meta_offset/meta_depth/
+    # meta_distance/meta_within bind to the same window fields above.
+    alt_patterns: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -141,6 +147,13 @@ class Rule:
     lang_negated: bool = False
     source: tuple[str, ...] = ()
     source_negated: bool = False
+    # P6 analogs: ``syslog_tag`` is a substring match against the tag
+    # (our ``source`` column); ``append_program`` appends the program to
+    # the message haystack before content/pcre matching ([U] engine.c
+    # Sagan_Check_Content / append_program path)
+    syslog_tag: tuple[str, ...] = ()
+    syslog_tag_negated: bool = False
+    append_program: bool = False
     alert_hours: tuple[int, int] | None = None  # [start_hour, end_hour) UTC
     alert_days: tuple[int, ...] = ()  # ISO dow 1=Mon..7=Sun; empty = any
 

@@ -109,7 +109,7 @@ def parse_rule(line: str, variables: dict[str, str] | None = None) -> Rule:
     last: str | None = None  # 'content' | 'json_content' — modifier target
 
     def _mod_content(**kw) -> None:
-        if last != "content" or not contents:
+        if last not in ("content", "meta_content") or not contents:
             raise ValueError(f"modifier without preceding content in sid body: {kw}")
         contents[-1] = dataclasses.replace(contents[-1], **kw)
 
@@ -140,6 +140,12 @@ def parse_rule(line: str, variables: dict[str, str] | None = None) -> Rule:
             v, neg = _unquote(val)
             r.source = tuple(s.strip() for s in v.split("|") if s.strip())
             r.source_negated = neg
+        elif key == "syslog_tag":
+            v, neg = _unquote(val)
+            r.syslog_tag = tuple(s.strip() for s in v.split("|") if s.strip())
+            r.syslog_tag_negated = neg
+        elif key == "append_program":
+            r.append_program = True
         elif key == "alert_time":
             # "hours 8-18" and/or "days 1-5" (ISO dow), comma separated
             kv = _parse_kv_list(val)
@@ -168,24 +174,28 @@ def parse_rule(line: str, variables: dict[str, str] | None = None) -> Rule:
             pcres.append(PcreMatch(pattern=pat, flags=flags, negated=neg))
             last = "pcre"
         elif key == "meta_content":
-            # meta_content:"%sagan% tmpl", v1, v2 → expands to OR-of-
-            # contents at compile time ([U] src/meta-content.c); we
-            # store as a single ContentMatch alternation marker handled
-            # by the compiler via `|` joining — simplest faithful form:
+            # meta_content:"%sagan% tmpl", v1, v2 — expands to a set of
+            # literal patterns that joins the content chain as ONE link
+            # with "any alternative matches" semantics; positional
+            # meta_* modifiers bind to it like content's offset/depth/
+            # distance/within ([U] src/meta-content.c).
             parts = [p.strip() for p in val.split(",")]
-            tmpl = _unquote(parts[0])[0]
+            tmpl, neg = _unquote(parts[0])
             vals = [_unquote(p)[0] for p in parts[1:]]
             pats = tuple(tmpl.replace("%sagan%", v) for v in vals)
-            # represented as one pcre alternation of escaped literals —
-            # keeps "any of the expansions" semantics in one matcher
-            pcres.append(
-                PcreMatch(pattern="|".join(re.escape(p) for p in pats), flags="")
+            if not pats:
+                raise ValueError(f"meta_content without values: {val!r}")
+            contents.append(
+                ContentMatch(pattern=pats[0], negated=neg, alt_patterns=pats[1:])
             )
             last = "meta_content"
-        elif key == "meta_nocase":
-            if last != "meta_content" or not pcres:
-                raise ValueError("meta_nocase without meta_content")
-            pcres[-1] = dataclasses.replace(pcres[-1], flags=pcres[-1].flags + "i")
+        elif key in ("meta_nocase", "meta_offset", "meta_depth", "meta_distance", "meta_within"):
+            if last != "meta_content" or not contents:
+                raise ValueError(f"{key} without preceding meta_content")
+            if key == "meta_nocase":
+                _mod_content(nocase=True)
+            else:
+                _mod_content(**{key.removeprefix("meta_"): int(val)})
         elif key == "json_content":
             path, rest = val.split(",", 1)
             p = _unquote(path)[0].lstrip(".")

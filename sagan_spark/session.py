@@ -25,6 +25,8 @@ def build_session(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    # -Xms pinned to -Xmx (see extraJavaOptions note below)
+    drv_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
     # cores x 2: enough parallelism for AQE to coalesce down, not so many
     # that task overhead dominates at local scale.  On a real cluster this
     # would be cores x (2-4) across executors.
@@ -64,11 +66,14 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # local-mode executor heap == driver heap: size it for the FULL
-        # thread count (32 threads × sort buffers + cached alert stream
-        # in one JVM — 8g starves local[32] into a GC/spill storm while
-        # local[8] fits, inverting the scaling curve; measured)
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        # local-mode executor heap == driver heap.  FIXED 16g (-Xms via
+        # extraJavaOptions below): r1's grow-on-demand 48g heap let old
+        # gen accumulate staged/cached blocks across runs until a
+        # 30-second ParallelGC full collection hit (measured via
+        # -Xlog:gc*: one 34.4s "Pause Full (Ergonomics)"), producing
+        # 3-5× run-to-run swings.  A fixed modest heap keeps full
+        # collections rare and bounded; the live set is ~2-4 GB.
+        .config("spark.driver.memory", drv_mem)
         .config("spark.driver.maxResultSize", "4g")
         # G1's time-to-safepoint stalls under many threads inside long
         # counted codegen loops (string-heavy match expressions) were
@@ -79,11 +84,21 @@ def build_session(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_JVM_OPTS",
-                "-XX:+UseParallelGC -XX:+UnlockDiagnosticVMOptions "
+                f"-XX:+UseParallelGC -Xms{drv_mem} -XX:+UnlockDiagnosticVMOptions "
                 "-XX:+UseCountedLoopSafepoints -XX:LoopStripMiningIter=1000",
             ),
         )
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # shuffle/spill files on tmpfs when available: local[32] puts 32
+        # concurrent writers on spark.local.dir; one virtio disk
+        # serializes them (measured non-scaling shuffle stages)
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
+            ),
+        )
         .getOrCreate()
     )

@@ -1,0 +1,32 @@
+"""ANN recall@k vs the brute-force baseline (VERDICT r1 item 6):
+single-bucket LSH loses recall; multi-probe (≤1-bit neighborhood) must
+recover it.  Asserted bounds are the component's contract — bench
+numbers without a recall floor are meaningless for ANN."""
+
+from __future__ import annotations
+
+from sagan_spark.datapipe.similarity import (
+    brute_force_topk,
+    load_embeddings,
+    lsh_multiprobe_topk,
+    lsh_topk,
+)
+
+from .conftest import SF_DIR
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_multiprobe_recall_floor(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    brute = _pairs(brute_force_topk(emb))
+    single = _pairs(lsh_topk(emb))
+    multi = _pairs(lsh_multiprobe_topk(emb))
+    assert brute, "brute-force baseline empty"
+    r_single = len(brute & single) / len(brute)
+    r_multi = len(brute & multi) / len(brute)
+    # multi-probe must not lose ground and must clear the floor
+    assert r_multi >= r_single, (r_single, r_multi)
+    assert r_multi >= 0.6, f"multi-probe recall@5 = {r_multi:.2f}"

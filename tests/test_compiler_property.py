@@ -20,30 +20,34 @@ ALPHA = "abX "
 
 def naive_contents(contents: list[ContentMatch], text: str) -> bool:
     """Direct reimplementation of the documented chain semantics
-    (1-based positions; negated contents don't advance)."""
+    (1-based positions; negated contents don't advance; a link with
+    alt_patterns matches if ANY alternative matches and the chain
+    advances past the FIRST matching alternative)."""
     prev_end = 1
     for c in contents:
         hay = text.lower() if c.nocase else text
-        pat = c.pattern.lower() if c.nocase else c.pattern
         if c.offset is not None or c.depth is not None:
-            start = (c.offset or 0) + 1
-            rel = hay[start - 1 :].find(pat) + 1
-            ok = rel > 0 and (c.depth is None or rel <= c.depth)
+            start, bound = (c.offset or 0) + 1, c.depth
         elif c.distance is not None or c.within is not None:
-            start = prev_end + (c.distance or 0)
+            start, bound = prev_end + (c.distance or 0), c.within
+        else:
+            start, bound = 1, None
+        any_ok, matched_end = False, None
+        for p in (c.pattern, *c.alt_patterns):
+            pat = p.lower() if c.nocase else p
             rel = hay[start - 1 :].find(pat) + 1 if start >= 1 else 0
-            ok = rel > 0 and (c.within is None or rel <= c.within)
-        else:
-            start = 1
-            rel = hay.find(pat) + 1
-            ok = rel > 0
-        if c.negated:
+            ok = rel > 0 and (bound is None or rel <= bound)
             if ok:
+                any_ok = True
+                if matched_end is None:
+                    matched_end = start + rel - 1 + len(pat)
+        if c.negated:
+            if any_ok:
                 return False
         else:
-            if not ok:
+            if not any_ok:
                 return False
-            prev_end = start + rel - 1 + len(pat)
+            prev_end = matched_end
     return True
 
 
@@ -56,6 +60,9 @@ content_st = st.builds(
     depth=st.one_of(st.none(), st.integers(1, 10)),
     distance=st.one_of(st.none(), st.integers(0, 4)),
     within=st.one_of(st.none(), st.integers(1, 10)),
+    alt_patterns=st.lists(
+        st.text(ALPHA, min_size=1, max_size=3), max_size=2
+    ).map(tuple),
 )
 
 
@@ -72,12 +79,12 @@ def test_content_chain_matches_naive(case):
     contents, text = case
     # a content can't be both absolute and relative; absolute wins in
     # the compiler — normalize the random case the same way
+    import dataclasses
+
     norm = []
     for c in contents:
         if c.offset is not None or c.depth is not None:
-            c = ContentMatch(
-                c.pattern, c.negated, c.nocase, c.offset, c.depth, None, None
-            )
+            c = dataclasses.replace(c, distance=None, within=None)
         norm.append(c)
     rule = Rule(sid=1, contents=tuple(norm))
     sql = builtin_sql(rule, DUCKDB)

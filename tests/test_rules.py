@@ -47,11 +47,42 @@ def test_parse_gates():
     assert r.xbits[0].op == "set" and r.xbits[0].expire == 7200
 
 
+def test_parse_meta_content_chain():
+    r = parse_rule(
+        'alert syslog any any -> any any (content:"pre"; '
+        'meta_content:"w %sagan%","tcp","udp"; meta_nocase; '
+        "meta_distance:1; meta_within:9; sid:4;)"
+    )
+    mc = r.contents[1]
+    assert mc.pattern == "w tcp" and mc.alt_patterns == ("w udp",)
+    assert mc.nocase and mc.distance == 1 and mc.within == 9
+    # meta modifiers require a preceding meta_content
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_rule(
+            'alert syslog any any -> any any (content:"x"; meta_depth:5; sid:5;)'
+        )
+
+
+def test_parse_p6_options():
+    r = parse_rule(
+        'alert syslog any any -> any any (append_program; syslog_tag:"sshd|cron"; '
+        'content:"fail"; sid:6;)'
+    )
+    assert r.append_program
+    assert r.syslog_tag == ("sshd", "cron") and not r.syslog_tag_negated
+    r2 = parse_rule(
+        'alert syslog any any -> any any (syslog_tag:!"kernel"; content:"x"; sid:7;)'
+    )
+    assert r2.syslog_tag == ("kernel",) and r2.syslog_tag_negated
+
+
 def test_fixture_ruleset_parses():
     rules = fixture_rules()
-    assert len(rules) == 25
+    assert len(rules) == 30
     sids = {r.sid for r in rules}
-    assert min(sids) == 5000001 and max(sids) == 5000025
+    assert min(sids) == 5000001 and max(sids) == 5000030
 
 
 def test_match_parity_spark_vs_duckdb(spark, duck):
