@@ -143,6 +143,19 @@ def _q_fast_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fast_lines(_pipeline(spark).routed(_pages(spark, sf_dir)))
 
 
+def _q_alert_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import alert_blocks
+
+    p = _pipeline(spark)
+    return alert_blocks(p.routed(_pages(spark, sf_dir)), p.rules)
+
+
+def _q_unified2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import unified2_hex
+
+    return unified2_hex(_pipeline(spark).routed(_pages(spark, sf_dir)))
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.route.stats import domain_stats
 
@@ -194,6 +207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "enrich_blacklist": _q_blacklist,
         "enrich_intel": _q_intel,
         "sink_fast_lines": _q_fast_lines,
+        "sink_alert_blocks": _q_alert_blocks,
+        "sink_unified2_hex": _q_unified2,
         "stats_domain_salted": _q_domain_stats,
         "track_clients_stale": _q_stale_clients,
         "xbits_state_table": _q_bit_state,
@@ -298,6 +313,12 @@ def oracle_sql() -> dict[str, str]:
         rep=QUERY_REP,
     )
     out["sink_fast_lines"] = oracle_query(fast_lines_sql(), rep=QUERY_REP)
+    from sagan_spark.route.formats import alert_blocks_sql, unified2_hex_sql
+
+    out["sink_alert_blocks"] = oracle_query(
+        alert_blocks_sql(list(fixture_rules())), rep=QUERY_REP
+    )
+    out["sink_unified2_hex"] = oracle_query(unified2_hex_sql(), rep=QUERY_REP)
     out["stats_domain_salted"] = oracle_query(DOMAIN_STATS_SQL, rep=QUERY_REP)
     out["track_clients_stale"] = pages_with(rep=QUERY_REP) + "\n" + stale_clients_sql()
     out["xbits_state_table"] = oracle_query(

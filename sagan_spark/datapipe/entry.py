@@ -46,6 +46,10 @@ def _q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_multiprobe_topk(similarity.load_embeddings(spark, sf_dir))
 
 
+def _q_emb_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_neardup_pairs(similarity.load_embeddings(spark, sf_dir))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.with_simhash(load_corpus(spark, sf_dir)).select("doc_id", "simhash")
 
@@ -93,6 +97,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh_pairs": _q_lsh_pairs,
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_clusters": _q_clusters,
+        "dedup_embedding_cosine": _q_emb_neardup,
         "ann_lsh_multiprobe": _q_ann_multiprobe,
         "dedup_simhash_values": _q_simhash,
         "dedup_simhash_pairs": _q_simhash_pairs,
@@ -121,6 +126,7 @@ def datapipe_oracles() -> dict[str, str]:
         + dedup.jaccard_ctes()
         + dedup.clusters_sql(),
         "ann_lsh_multiprobe": similarity.lsh_multiprobe_sql(),
+        "dedup_embedding_cosine": similarity.embedding_neardup_sql(),
         "dedup_simhash_values": cw + "\n" + dedup.simhash_sql(),
         "dedup_simhash_pairs": cw + dedup.simhash_pairs_sql(),
         "ann_bruteforce_cosine": similarity.brute_force_sql(),

@@ -228,6 +228,63 @@ WHERE rank <= {k}
 """.strip()
 
 
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.3) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the dedup-brief variant): the
+    candidate set is the ≤PROBE_BITS sign-bucket neighborhood (bucketed
+    join — never all-pairs), verified by exact cosine ≥ threshold.
+
+    The driver's test embeddings are near-random (max pairwise cos
+    ≈ 0.5), so the test threshold is 0.3 to exercise the operator; real
+    near-dup corpora use ~0.95+, where sign-bucket recall approaches 1
+    (near-identical vectors share hyperplane signs).  Output (a, b,
+    cos), a < b."""
+    import itertools
+
+    withb = emb.withColumn("bucket", _bucket_spark("embedding"))
+    probe_cols = [F.col("bucket")]
+    if PROBE_BITS >= 1:
+        probe_cols += [F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    if PROBE_BITS >= 2:
+        probe_cols += [
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) | (1 << j)))
+            for i, j in itertools.combinations(range(N_PLANES), 2)
+        ]
+    l = withb.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("ea"),
+        F.explode(F.array(*probe_cols)).alias("bucket"),
+    )
+    r = withb.select(
+        F.col("vec_id").alias("b"), F.col("embedding").alias("eb"), "bucket"
+    )
+    cos = F.round(_dot_spark("ea", "eb") / (_norm_spark("ea") * _norm_spark("eb")), 6)
+    return (
+        l.join(r, "bucket")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )
+
+
+def embedding_neardup_sql(threshold: float = 0.3) -> str:
+    """Oracle twin: the same ≤PROBE_BITS-neighborhood candidate set via
+    a declarative hamming join, exact cosine filter."""
+    cos = f"round({dot_sql('l.embedding', 'r.embedding')} / ({norm_sql('l.embedding')} * {norm_sql('r.embedding')}), 6)"
+    return f"""
+WITH withb AS (
+  SELECT vec_id, embedding, {bucket_sql('embedding')} AS bucket FROM embeddings
+)
+SELECT a, b, cos FROM (
+  SELECT l.vec_id AS a, r.vec_id AS b, {cos} AS cos
+  FROM withb l JOIN withb r
+    ON l.vec_id < r.vec_id
+   AND bit_count(xor(l.bucket::BIGINT, r.bucket::BIGINT)) <= {PROBE_BITS}
+)
+WHERE cos >= {threshold}
+""".strip()
+
+
 def lsh_topk_sql(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
     cos = f"round({dot_sql('q.embedding', 'c.embedding')} / ({norm_sql('q.embedding')} * {norm_sql('c.embedding')}), 6)"
     return f"""

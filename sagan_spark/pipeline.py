@@ -122,6 +122,7 @@ class Pipeline:
         "classtype",
         "priority",
         "sink",
+        "rev",
     ]
 
     def window_gated(self, pages: DataFrame) -> DataFrame:
@@ -165,6 +166,7 @@ class Pipeline:
             "dst_cc",
             "classtype",
             "priority",
+            "rev",
             "refs",
         )
 

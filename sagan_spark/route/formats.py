@@ -50,6 +50,151 @@ FROM routed
 """.strip()
 
 
+def alert_blocks(routed: DataFrame, rules) -> DataFrame:
+    """K2: the full multi-line "alert" format ([U] alert.c):
+
+        [**] [gid:sid:rev] msg [**]
+        [Classification: classtype] [Priority: n]
+        ts src:port -> dst {proto} domain url
+
+    ``rules`` supplies the per-sid msg text (compile-time map — no
+    join)."""
+    msg_map = F.create_map(
+        *[F.lit(x) for r in rules for x in (r.sid, r.msg)]
+    )
+    block = F.concat(
+        F.lit("[**] [1:"),
+        F.col("signature_id").cast("string"),
+        F.lit(":"),
+        F.coalesce(F.col("rev").cast("string"), F.lit("1")),
+        F.lit("] "),
+        F.coalesce(msg_map[F.col("signature_id")], F.lit("")),
+        F.lit(" [**]\n[Classification: "),
+        F.coalesce("classtype", F.lit("unknown")),
+        F.lit("] [Priority: "),
+        F.coalesce(F.col("priority").cast("string"), F.lit("0")),
+        F.lit("]\n"),
+        F.col("warc_epoch").cast("string"),
+        F.lit(" "),
+        F.coalesce("src_ip", F.lit("-")),
+        F.lit(":"),
+        F.coalesce(F.col("port").cast("string"), F.lit("0")),
+        F.lit(" -> "),
+        F.coalesce("dst_ip", F.lit("-")),
+        F.lit(" {"),
+        F.coalesce("proto", F.lit("none")),
+        F.lit("} "),
+        F.col("domain"),
+        F.lit(" "),
+        F.col("url"),
+    )
+    return routed.where(F.col("sink") == "alert").select(
+        "signature_id", "url", block.alias("block")
+    )
+
+
+def alert_blocks_sql(rules) -> str:
+    """DuckDB twin over the oracle `routed` CTE (chr(10) newlines —
+    identical bytes to the Spark literal)."""
+    msg_case = (
+        "CASE signature_id "
+        + " ".join(
+            f"WHEN {r.sid} THEN '{r.msg.replace(chr(39), chr(39) * 2)}'" for r in rules
+        )
+        + " ELSE '' END"
+    )
+    return f"""
+SELECT signature_id, url,
+  '[**] [1:' || CAST(signature_id AS VARCHAR) || ':' || coalesce(CAST(rev AS VARCHAR), '1')
+  || '] ' || {msg_case} || ' [**]' || chr(10)
+  || '[Classification: ' || coalesce(classtype, 'unknown') || '] [Priority: '
+  || coalesce(CAST(priority AS VARCHAR), '0') || ']' || chr(10)
+  || CAST(warc_epoch AS VARCHAR) || ' ' || coalesce(src_ip, '-') || ':'
+  || coalesce(CAST(port AS VARCHAR), '0') || ' -> ' || coalesce(dst_ip, '-')
+  || ' {{' || coalesce(proto, 'none') || '}} ' || domain || ' ' || url AS block
+FROM routed WHERE sink = 'alert'
+""".strip()
+
+
+# unified2 IDS-event record twins (K4; [U] output-plugins/unified2.c).
+# The byte layout is rendered as a HEX STRING (same bytes, hex-encoded)
+# so the DuckDB oracle can compare values — a binary spool writer would
+# `unhex` this column.  Simplifications documented: event_id :=
+# event_second (no per-process counter in a deterministic batch),
+# classification_id := priority.
+PROTO_CODE = {"tcp": 6, "udp": 17, "icmp": 1}
+
+
+def unified2_hex(routed: DataFrame) -> DataFrame:
+    from sagan_spark.enrich.enrich import ip_to_long_col
+
+    def h(col, width):  # big-endian fixed-width lowercase hex
+        return F.lower(F.lpad(F.hex(col.cast("long")), width, "0"))
+
+    z = F.lit(0)
+    proto_code = (
+        F.when(F.col("proto") == "tcp", F.lit(6))
+        .when(F.col("proto") == "udp", F.lit(17))
+        .when(F.col("proto") == "icmp", F.lit(1))
+        .otherwise(z)
+    )
+    rec = F.concat(
+        h(F.lit(7), 8),  # record type: IDS event
+        h(F.lit(52), 8),  # record length
+        h(z, 8),  # sensor_id
+        h(F.col("warc_epoch"), 8),  # event_id (:= event_second)
+        h(F.col("warc_epoch"), 8),  # event_second
+        h(z, 8),  # event_microsecond
+        h(F.col("signature_id"), 8),
+        h(F.lit(1), 8),  # generator_id
+        h(F.coalesce(F.col("rev"), F.lit(1)), 8),
+        h(F.coalesce(F.col("priority"), z), 8),  # classification_id
+        h(F.coalesce(F.col("priority"), z), 8),  # priority_id
+        h(F.coalesce(ip_to_long_col("src_ip"), z), 8),
+        h(F.coalesce(ip_to_long_col("dst_ip"), z), 8),
+        h(F.coalesce(F.col("port"), z), 4),  # sport_itype (u16)
+        h(z, 4),  # dport_icode
+        h(proto_code, 2),  # protocol (u8)
+        h(z, 2),  # impact_flag
+        h(z, 2),  # impact
+        h(z, 2),  # blocked
+    )
+    return routed.select("signature_id", "url", rec.alias("record_hex"))
+
+
+def unified2_hex_sql() -> str:
+    from sagan_spark.enrich.enrich import ip_to_long_sql
+
+    def h(expr, width):
+        return f"lower(lpad(to_hex(CAST({expr} AS BIGINT)), {width}, '0'))"
+
+    proto = "CASE proto WHEN 'tcp' THEN 6 WHEN 'udp' THEN 17 WHEN 'icmp' THEN 1 ELSE 0 END"
+    parts = [
+        h("7", 8),
+        h("52", 8),
+        h("0", 8),
+        h("warc_epoch", 8),
+        h("warc_epoch", 8),
+        h("0", 8),
+        h("signature_id", 8),
+        h("1", 8),
+        h("coalesce(rev, 1)", 8),
+        h("coalesce(priority, 0)", 8),
+        h("coalesce(priority, 0)", 8),
+        h(f"coalesce({ip_to_long_sql('src_ip')}, 0)", 8),
+        h(f"coalesce({ip_to_long_sql('dst_ip')}, 0)", 8),
+        h("coalesce(port, 0)", 4),
+        h("0", 4),
+        h(proto, 2),
+        h("0", 2),
+        h("0", 2),
+        h("0", 2),
+    ]
+    return (
+        "SELECT signature_id, url, " + " || ".join(parts) + " AS record_hex FROM routed"
+    )
+
+
 def eve_json(routed: DataFrame) -> DataFrame:
     """EVE-style JSON event per alert ([U] eve.c: timestamp, event_type,
     alert{...}, plus the original record)."""
