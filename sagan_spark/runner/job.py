@@ -71,10 +71,17 @@ def lookback_seconds(rules: list[Rule]) -> int | None:
     return lb
 
 
-def lineage_fingerprint(input_path: str, rep: int) -> str:
+def lineage_fingerprint(input_path: str, rep: int, ruleset_text: str | None = None) -> str:
+    """Run identity = (input, rep, ruleset sha, code rev).  This is the
+    batch re-expression of R2 ``dynamic_load`` ([U] rules.c reload on
+    SIGHUP): editing the ruleset changes the fingerprint, so every
+    unit's manifest mismatches and the next run recomputes everything
+    under the new rules — reload-on-restart with exact provenance,
+    instead of reload-in-place."""
     code_rev = os.popen("git -C /root/repo rev-parse --short HEAD 2>/dev/null").read().strip()
+    rs = RULESET if ruleset_text is None else ruleset_text
     h = hashlib.sha256(
-        f"{input_path}|{rep}|{hashlib.sha256(RULESET.encode()).hexdigest()}".encode()
+        f"{input_path}|{rep}|{hashlib.sha256(rs.encode()).hexdigest()}".encode()
     ).hexdigest()[:16]
     return f"{h}@{code_rev or 'unknown'}"
 

@@ -19,6 +19,20 @@ def test_lookback_bound():
     assert lb == 7200  # max(after 3600, th 7200, xbit 7200+0, flexbit 3600+0)
 
 
+def test_ruleset_change_invalidates_lineage():
+    """R2 dynamic_load, batch form: a ruleset edit changes the lineage
+    fingerprint, so every manifest mismatches and the next run
+    recomputes under the new rules (reload-on-restart)."""
+    from sagan_spark.runner.job import lineage_fingerprint
+
+    a = lineage_fingerprint("/in", 4, ruleset_text="alert ... sid:1;")
+    b = lineage_fingerprint("/in", 4, ruleset_text="alert ... sid:2;")
+    same = lineage_fingerprint("/in", 4, ruleset_text="alert ... sid:1;")
+    assert a != b and a == same
+    # input identity also participates
+    assert lineage_fingerprint("/other", 4, ruleset_text="alert ... sid:1;") != a
+
+
 def test_partitioned_equals_global_and_resumes(spark, tmp_path):
     pages = pages_table(spark, SF_DIR, rep=4)
     out = str(tmp_path / "sinks")
