@@ -19,13 +19,20 @@ def salted_count(df: DataFrame, keys: list[str], salt_n: int = 16) -> DataFrame:
     """groupBy(keys).count() with a salt stage: phase 1 aggregates
     (keys, salt) partials, phase 2 merges per key.  Result column: n.
 
-    The salt is ``xxhash64`` of the WHOLE row (all columns + seed):
-    deterministic across task retries (unlike
-    monotonically_increasing_id, whose value depends on task/partition
-    assignment), yet still fans a hot *key*'s rows across ``salt_n``
-    reducers because the non-key columns vary within the key."""
+    The salt mixes ``xxhash64`` of the whole row with
+    ``spark_partition_id()``: the content hash alone degenerates when a
+    hot key's rows are byte-identical (every duplicate lands in one
+    salt bucket, re-concentrating the skew), while the partition id
+    alone varies with task assignment.  The mix fans identical rows
+    across buckets by their physical placement; the FINAL counts are
+    salt-independent either way (phase 2 re-merges per key), so results
+    stay deterministic."""
     salted = df.withColumn(
-        "_salt", F.pmod(F.xxhash64(*df.columns, F.lit(42)), F.lit(salt_n))
+        "_salt",
+        F.pmod(
+            F.xxhash64(*df.columns, F.lit(42)) + F.spark_partition_id(),
+            F.lit(salt_n),
+        ),
     )
     partial = salted.groupBy(*keys, "_salt").agg(F.count(F.lit(1)).alias("_pn"))
     return partial.groupBy(*keys).agg(F.sum("_pn").cast("long").alias("n"))

@@ -25,13 +25,48 @@ window) and AQE handles residual skew.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sagan_spark.rules.model import Rule
+
+# Every staged snapshot written by this process lives under one
+# per-process dir, removed at interpreter exit (and removable earlier
+# via cleanup_staged()) — without this, tmpfs fills with dead snapshots
+# across a bench / the 4-way-parallel unit runner / a long session.
+_STAGE_SESSION_DIR: str | None = None
+
+
+def _stage_base() -> str:
+    global _STAGE_SESSION_DIR
+    if _STAGE_SESSION_DIR is None:
+        # staging defaults to tmpfs when present: the barrier write is
+        # bandwidth-bound, and a single virtio disk serializes 32
+        # writer tasks (measured: identical stage wall at 8 and 32
+        # cores on /tmp; scales on /dev/shm).  The cluster analog is
+        # fast staging storage (local NVMe / object store), not one
+        # spindle.
+        default_base = (
+            "/dev/shm/sagan_stage" if os.path.isdir("/dev/shm") else "/tmp/sagan_stage"
+        )
+        base = os.environ.get("SPARK_GRAFT_STAGE_DIR", default_base)
+        _STAGE_SESSION_DIR = os.path.join(base, f"run-{os.getpid()}-{uuid.uuid4().hex[:8]}")
+        atexit.register(cleanup_staged)
+    return _STAGE_SESSION_DIR
+
+
+def cleanup_staged() -> None:
+    """Delete every staged snapshot this process has written.  Safe to
+    call repeatedly; also registered atexit."""
+    global _STAGE_SESSION_DIR
+    if _STAGE_SESSION_DIR is not None:
+        shutil.rmtree(_STAGE_SESSION_DIR, ignore_errors=True)
+        _STAGE_SESSION_DIR = None
 
 
 def stage_frame(df: DataFrame, name: str = "stage") -> DataFrame:
@@ -50,14 +85,7 @@ def stage_frame(df: DataFrame, name: str = "stage") -> DataFrame:
     mode = os.environ.get("SPARK_GRAFT_GATE_STAGING", "parquet")
     if mode == "persist":
         return df.persist()
-    # staging defaults to tmpfs when present: the barrier write is
-    # bandwidth-bound, and a single virtio disk serializes 32 writer
-    # tasks (measured: identical stage wall at 8 and 32 cores on /tmp;
-    # scales on /dev/shm).  The cluster analog is fast staging storage
-    # (local NVMe / object store with many channels), not one spindle.
-    default_base = "/dev/shm/sagan_stage" if os.path.isdir("/dev/shm") else "/tmp/sagan_stage"
-    base = os.environ.get("SPARK_GRAFT_STAGE_DIR", default_base)
-    path = os.path.join(base, f"{name}-{uuid.uuid4().hex}")
+    path = os.path.join(_stage_base(), f"{name}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

@@ -152,7 +152,10 @@ def unified2_hex(routed: DataFrame) -> DataFrame:
         h(F.coalesce(F.col("priority"), z), 8),  # priority_id
         h(F.coalesce(ip_to_long_col("src_ip"), z), 8),
         h(F.coalesce(ip_to_long_col("dst_ip"), z), 8),
-        h(F.coalesce(F.col("port"), z), 4),  # sport_itype (u16)
+        # sport_itype is a u16: extracted ports can exceed 65535 (the
+        # extraction regex admits 5 digits), and lpad would silently
+        # truncate 5 hex digits to 4 — mask into range explicitly
+        h(F.pmod(F.coalesce(F.col("port"), z), F.lit(65536)), 4),
         h(z, 4),  # dport_icode
         h(proto_code, 2),  # protocol (u8)
         h(z, 2),  # impact_flag
@@ -183,7 +186,7 @@ def unified2_hex_sql() -> str:
         h("coalesce(priority, 0)", 8),
         h(f"coalesce({ip_to_long_sql('src_ip')}, 0)", 8),
         h(f"coalesce({ip_to_long_sql('dst_ip')}, 0)", 8),
-        h("coalesce(port, 0)", 4),
+        h("coalesce(port, 0) % 65536", 4),  # u16 mask, twin of the engine's pmod
         h("0", 4),
         h(proto, 2),
         h("0", 2),

@@ -25,8 +25,21 @@ def build_session(
 ) -> SparkSession:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
     master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
-    # -Xms pinned to -Xmx (see extraJavaOptions note below)
-    drv_mem = os.environ.get("SPARK_DRIVER_MEMORY", "16g")
+    # -Xms pinned to -Xmx (see extraJavaOptions note below).  The 16g
+    # default is gated on physical RAM: on a small host a pinned 16g
+    # heap fails at JVM startup, so scale down to ~RAM/3 (min 2g).
+    try:
+        ram_gb = os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES") / (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        ram_gb = 64.0
+    default_mem = "16g" if ram_gb >= 48 else f"{max(2, int(ram_gb / 3))}g"
+    drv_mem = os.environ.get("SPARK_DRIVER_MEMORY", default_mem)
+    # shuffle/spill on tmpfs only when RAM is plentiful — spilling to
+    # RAM-backed tmpfs on a small host consumes the resource memory
+    # pressure is shedding (compounding, not relieving)
+    default_local = (
+        "/dev/shm/spark-local" if (ram_gb >= 48 and os.path.isdir("/dev/shm")) else "/tmp"
+    )
     # cores x 2: enough parallelism for AQE to coalesce down, not so many
     # that task overhead dominates at local scale.  On a real cluster this
     # would be cores x (2-4) across executors.
@@ -95,10 +108,7 @@ def build_session(
         # serializes them (measured non-scaling shuffle stages)
         .config(
             "spark.local.dir",
-            os.environ.get(
-                "SPARK_GRAFT_LOCAL_DIR",
-                "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp",
-            ),
+            os.environ.get("SPARK_GRAFT_LOCAL_DIR", default_local),
         )
         .getOrCreate()
     )

@@ -18,12 +18,14 @@ def test_write_sinks_partitioned(spark, tmp_path):
     out = str(tmp_path / "sinks")
     counts = pipe.write_sinks(pages, out)
     assert set(counts) == {"fast", "alert", "eve"}
-    # per-sink dirs partitioned by signature_id, readable back with the
-    # same totals
+    # single-pass layout: out/sink=<s>/signature_id=<n>/, readable back
+    # per sink with the same totals
     for sink, n in counts.items():
-        back = spark.read.parquet(f"{out}/{sink}")
+        back = spark.read.parquet(f"{out}/sink={sink}")
         assert back.count() == n
-        parts = [d for d in os.listdir(f"{out}/{sink}") if d.startswith("signature_id=")]
+        parts = [
+            d for d in os.listdir(f"{out}/sink={sink}") if d.startswith("signature_id=")
+        ]
         assert len(parts) > 1
 
 
