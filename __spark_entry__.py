@@ -103,6 +103,22 @@ def _q_extract_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_geo_v6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.enrich.enrich import geo6_dim_df, with_geo_v6
+    from sagan_spark.rules.fixture_rules import geo6_rows
+
+    df = (
+        _pipeline(spark)
+        .extracted(_pages(spark, sf_dir))
+        .where(F.col("sid") == 5000026)
+    )
+    g6 = geo6_dim_df(spark, geo6_rows())
+    out = with_geo_v6(
+        with_geo_v6(df, g6, "src_ip", "src_cc6"), g6, "dst_ip", "dst_cc6"
+    )
+    return out.select("url", "src_ip", "dst_ip", "src_cc6", "dst_cc6")
+
+
 def _q_bluedot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.enrich.enrich import blacklist_dim_df, with_geo
     from sagan_spark.rules.fixture_rules import bluedot_rows
@@ -156,6 +172,18 @@ def _q_unified2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unified2_hex(_pipeline(spark).routed(_pages(spark, sf_dir)))
 
 
+def _q_eve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import eve_canonical
+
+    return eve_canonical(_pipeline(spark).routed(_pages(spark, sf_dir)))
+
+
+def _q_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import external_payload
+
+    return external_payload(_pipeline(spark).routed(_pages(spark, sf_dir)))
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.route.stats import domain_stats
 
@@ -200,8 +228,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xbits_isset": _gate_urls(5000020),
         "xbits_isnotset": _gate_urls(5000021),
         "flexbits_pair_isset": _gate_urls(5000024),
+        "flexbits_count": _gate_urls(5000032),
         "normalize_grok": _q_normalize,
         "extract_fields_v6": _q_extract_v6,
+        "enrich_geo_v6": _q_geo_v6,
         "enrich_bluedot": _q_bluedot,
         "routed_refs": _q_routed_refs,
         "enrich_blacklist": _q_blacklist,
@@ -209,6 +239,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_fast_lines": _q_fast_lines,
         "sink_alert_blocks": _q_alert_blocks,
         "sink_unified2_hex": _q_unified2,
+        "sink_eve_json": _q_eve,
+        "sink_external_payload": _q_external,
         "stats_domain_salted": _q_domain_stats,
         "track_clients_stale": _q_stale_clients,
         "xbits_state_table": _q_bit_state,
@@ -263,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "xbits_isset": gate_sql(5000020),
         "xbits_isnotset": gate_sql(5000021),
         "flexbits_pair_isset": gate_sql(5000024),
+        "flexbits_count": gate_sql(5000032),
         "normalize_grok": pages_with(rep=QUERY_REP)
         + f" SELECT url, {g['message']} AS extracted_text, "
         f"{g['nsrc_ip']} AS nsrc_ip, {g['ndst_ip']} AS ndst_ip FROM pages",
@@ -281,6 +314,17 @@ def oracle_sql() -> dict[str, str]:
     out["extract_fields_v6"] = oracle_query(
         "SELECT url, src_ip AS v6_src, dst_ip AS v6_dst FROM extracted "
         "WHERE sid = 5000026",
+        rep=QUERY_REP,
+    )
+    from sagan_spark.enrich.enrich import geo6_lateral_sql
+    from sagan_spark.rules.fixture_rules import geo6_values_sql
+
+    out["enrich_geo_v6"] = oracle_query(
+        "SELECT url, src_ip, dst_ip, "
+        + geo6_lateral_sql("src_ip", "src_cc6", geo6_values_sql())
+        + ", "
+        + geo6_lateral_sql("dst_ip", "dst_cc6", geo6_values_sql())
+        + " FROM extracted WHERE sid = 5000026",
         rep=QUERY_REP,
     )
     out["enrich_bluedot"] = oracle_query(
@@ -319,6 +363,10 @@ def oracle_sql() -> dict[str, str]:
         alert_blocks_sql(list(fixture_rules())), rep=QUERY_REP
     )
     out["sink_unified2_hex"] = oracle_query(unified2_hex_sql(), rep=QUERY_REP)
+    from sagan_spark.route.formats import eve_canonical_sql, external_payload_sql
+
+    out["sink_eve_json"] = oracle_query(eve_canonical_sql(), rep=QUERY_REP)
+    out["sink_external_payload"] = oracle_query(external_payload_sql(), rep=QUERY_REP)
     out["stats_domain_salted"] = oracle_query(DOMAIN_STATS_SQL, rep=QUERY_REP)
     out["track_clients_stale"] = pages_with(rep=QUERY_REP) + "\n" + stale_clients_sql()
     out["xbits_state_table"] = oracle_query(

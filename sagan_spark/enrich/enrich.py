@@ -138,6 +138,114 @@ def geo_sql(ip: str, out_cc: str, geo_values: str) -> str:
     )
 
 
+def ipv6_hex_col(ip_col: str) -> Column:
+    """IPv6 string (full or ``::``-compressed) → 32-char lowercase hex.
+
+    Fixed-width hex makes LEXICOGRAPHIC order equal NUMERIC order, so
+    range joins work on plain string comparisons — no 128-bit integer
+    type needed (SURVEY §1.2 promised 16-byte binary; fixed-width hex is
+    the same ordering with plain builtin expressions on both engines).
+    NULL for anything that is not an 8-group v6 address after ``::``
+    expansion (v4, malformed, v4-embedded forms)."""
+    ip = F.lower(F.col(ip_col))
+    nonempty = lambda x: x != ""  # noqa: E731
+    lparts = F.filter(F.split(F.substring_index(ip, "::", 1), ":"), nonempty)
+    rparts = F.filter(F.split(F.substring_index(ip, "::", -1), ":"), nonempty)
+    mid = F.array_repeat(F.lit("0"), F.lit(8) - F.size(lparts) - F.size(rparts))
+    # the expansion branch needs ≥1 elided group; a "::" with 8+ written
+    # groups is malformed and falls through to the plain split (where
+    # the empty group makes size ≠ 8 → NULL, same as the oracle twin)
+    groups = F.when(
+        ip.contains("::") & (F.size(lparts) + F.size(rparts) < F.lit(8)),
+        F.concat(lparts, mid, rparts),
+    ).otherwise(F.split(ip, ":"))
+    hexs = F.array_join(F.transform(groups, lambda g: F.lpad(g, 4, "0")), "")
+    return F.when(
+        ip.contains(":") & (F.size(groups) == 8) & hexs.rlike("^[0-9a-f]{32}$"),
+        hexs,
+    )
+
+
+def ipv6_hex_sql(ip: str) -> str:
+    """DuckDB twin of :func:`ipv6_hex_col` (list_filter/list_transform
+    mirror the Spark higher-order functions)."""
+    low = f"lower({ip})"
+    lparts = f"list_filter(string_split(string_split({low}, '::')[1], ':'), x -> x != '')"
+    rparts = (
+        f"list_filter(string_split(coalesce(string_split({low}, '::')[2], ''), ':'),"
+        " x -> x != '')"
+    )
+    groups = (
+        f"(CASE WHEN contains({low}, '::') THEN "
+        f"list_concat(list_concat({lparts}, "
+        f"string_split(rtrim(repeat('0,', 8 - len({lparts}) - len({rparts})), ','), ',')), "
+        f"{rparts}) "
+        f"ELSE string_split({low}, ':') END)"
+    )
+    hexs = f"list_aggregate(list_transform({groups}, g -> lpad(g, 4, '0')), 'string_agg', '')"
+    return (
+        f"(CASE WHEN contains({low}, ':') AND len({groups}) = 8 "
+        f"AND regexp_matches({hexs}, '^[0-9a-f]{{32}}$') THEN {hexs} END)"
+    )
+
+
+def flatten_ranges_hex(
+    rows: list[tuple[int, int, int, str]],
+) -> list[tuple[str, str, str, str]]:
+    """(start128, end128, prefix_len, cc) overlapping v6 CIDRs →
+    disjoint bucketed (bucket, start_hex, end_hex, cc) rows.  Reuses the
+    v4 longest-prefix heap sweep (pure-int, width-agnostic); the bucket
+    is the top 16 bits (first 4 hex chars) — the v6 analog of the v4
+    ``/16`` equi-join bucket."""
+    out = []
+    for s, e, cc in flatten_ranges(rows):
+        for b in range(s >> 112, (e >> 112) + 1):
+            out.append((format(b, "04x"), format(s, "032x"), format(e, "032x"), cc))
+    return out
+
+
+def geo6_dim_df(
+    spark: SparkSession, rows: list[tuple[int, int, int, str]]
+) -> DataFrame:
+    return spark.createDataFrame(
+        flatten_ranges_hex(rows),
+        schema="bucket string, net_start string, net_end string, cc string",
+    )
+
+
+def with_geo_v6(df: DataFrame, geo6: DataFrame, ip_col: str, out_cc: str) -> DataFrame:
+    """E1 for IPv6: broadcast bucketed equi-join on the /16-bit hex
+    prefix plus a string-range residual (disjoint dim ⇒ ≤1 match)."""
+    g = geo6.select(
+        F.col("bucket").alias(f"_b6_{out_cc}"),
+        F.col("net_start").alias(f"_s6_{out_cc}"),
+        F.col("net_end").alias(f"_e6_{out_cc}"),
+        F.col("cc").alias(out_cc),
+    )
+    df = df.withColumn(f"_ip6_{out_cc}", ipv6_hex_col(ip_col))
+    joined = df.join(
+        F.broadcast(g),
+        (F.substring(F.col(f"_ip6_{out_cc}"), 1, 4) == F.col(f"_b6_{out_cc}"))
+        & (F.col(f"_ip6_{out_cc}") >= F.col(f"_s6_{out_cc}"))
+        & (F.col(f"_ip6_{out_cc}") <= F.col(f"_e6_{out_cc}")),
+        "left",
+    )
+    return joined.drop(
+        f"_b6_{out_cc}", f"_s6_{out_cc}", f"_e6_{out_cc}", f"_ip6_{out_cc}"
+    )
+
+
+def geo6_lateral_sql(ip: str, out_cc: str, geo6_values: str) -> str:
+    """Oracle twin: overlapping v6 ranges + longest-prefix-wins — the
+    independent route, verifying the hex flattening."""
+    ip6 = ipv6_hex_sql(ip)
+    return (
+        f"(SELECT cc FROM {geo6_values} "
+        f"WHERE {ip6} >= g6.net_start AND {ip6} <= g6.net_end "
+        f"ORDER BY g6.prefix_len DESC LIMIT 1) AS {out_cc}"
+    )
+
+
 def with_blacklist(df: DataFrame, bl: DataFrame, ip_col: str, out: str) -> DataFrame:
     """Blacklist processor (E4; [U] src/processors/blacklist.c): CIDR
     hit → list name.  Same disjoint-bucketed broadcast equi-join shape

@@ -42,6 +42,15 @@ def bit_ops_rows(rules: list[Rule]) -> tuple[list[tuple], list[tuple]]:
     return writes, tests
 
 
+def bit_count_rows(rules: list[Rule]) -> list[tuple]:
+    """flexbits ``count`` testers: (sid, name, track, cmp, value)."""
+    return [
+        (r.sid, x.name, x.track, x.cmp, x.value)
+        for r in rules
+        for x in r.bit_counts()
+    ]
+
+
 def bit_events(df: DataFrame, writes_df: DataFrame) -> DataFrame:
     """Gated rows of writer rules → bit-event table."""
     ev = df.join(F.broadcast(writes_df), "sid", "inner")
@@ -73,7 +82,8 @@ def apply_bit_tests(
     runs (no pairwise blowup).  The DuckDB oracle keeps the join+
     row_number formulation as an independent cross-check."""
     writes, tests = bit_ops_rows(rules)
-    if not tests:
+    counts = bit_count_rows(rules)
+    if not tests and not counts:
         return df
     # df feeds three branches (events, testers, pass-through) — without
     # materialization each branch would recompute the entire upstream
@@ -91,11 +101,18 @@ def apply_bit_tests(
     writes_df = spark.createDataFrame(
         writes, schema="sid long, name string, track string, op string, expire int"
     )
+    tester_sids = {t[0] for t in tests}
+    count_sids = {c[0] for c in counts}
+    rest = df.where(~F.col("sid").isin(list(tester_sids | count_sids)))
+    if counts:
+        rest = rest.unionByName(
+            _apply_count_tests(df, counts, writes_df, spark)
+        )
+    if not tests:
+        return rest
     tests_df = spark.createDataFrame(
         tests, schema="sid long, name string, track string, test_op string"
     )
-    tester_sids = {t[0] for t in tests}
-    rest = df.where(~F.col("sid").isin(list(tester_sids)))
 
     payload_cols = df.columns
     events = bit_events(df, writes_df).select(
@@ -159,6 +176,81 @@ def apply_bit_tests(
     return rest.unionByName(passed)
 
 
+def _apply_count_tests(
+    df: DataFrame, counts: list[tuple], writes_df: DataFrame, spark: SparkSession
+) -> DataFrame:
+    """flexbits ``count`` testers ([U] src/flexbit.c counter form).
+
+    Semantics (fixture-defining, mirrored in :func:`bit_tests_sql`):
+    the counter value at a tester's event time is the number of
+    UNEXPIRED ``set`` events for (name, key) at-or-before it under the
+    total order (warc_epoch, url); ``unset`` does not decrement.  The
+    tester passes iff ``count <cmp> value`` for ALL of its count tests.
+
+    Scale shape: LEFT equi-join on (name, key) with time/expiry
+    residuals, then a per-tester count — a shuffled hash join whose hot
+    (name, key) groups ride on AQE skew splitting.  Unlike isset (which
+    only needs the LATEST event and therefore uses the linear
+    union-window form), count genuinely needs the event multiset, so
+    the join is the right primitive; the event side is pre-filtered to
+    the counted bit names."""
+    cdf = spark.createDataFrame(
+        counts, schema="sid long, name string, track string, cmp string, cval int"
+    )
+    testers = df.join(F.broadcast(cdf), "sid", "inner").select(
+        "url",
+        "sid",
+        F.col("name").alias("cname"),
+        track_key_col("track").alias("ckey"),
+        "warc_epoch",
+        "cmp",
+        "cval",
+    )
+    sets = (
+        bit_events(df, writes_df)
+        .where(F.col("op") == "set")
+        .where(F.col("name").isin([c[1] for c in counts]))
+        .select(
+            F.col("name").alias("ename"),
+            F.col("key").alias("ekey"),
+            F.col("warc_epoch").alias("eepoch"),
+            F.col("url").alias("eurl"),
+            F.col("expire").alias("eexpire"),
+        )
+    )
+    j = testers.join(
+        sets,
+        (F.col("cname") == F.col("ename"))
+        & (F.col("ckey") == F.col("ekey"))
+        & (
+            (F.col("eepoch") < F.col("warc_epoch"))
+            | ((F.col("eepoch") == F.col("warc_epoch")) & (F.col("eurl") <= F.col("url")))
+        )
+        & (
+            F.col("eexpire").isNull()
+            | (F.col("warc_epoch") < F.col("eepoch") + F.col("eexpire"))
+        ),
+        "left",
+    )
+    per_test = j.groupBy("url", "sid", "cname", "cmp", "cval").agg(
+        F.count("eurl").alias("n")
+    )
+    ok = (
+        F.when(F.col("cmp") == "gt", F.col("n") > F.col("cval"))
+        .when(F.col("cmp") == "lt", F.col("n") < F.col("cval"))
+        .otherwise(F.col("n") == F.col("cval"))
+    )
+    passed_ids = (
+        per_test.groupBy("url", "sid")
+        .agg(F.min(ok.cast("int")).alias("_ok"))
+        .where(F.col("_ok") == 1)
+        .select("url", "sid")
+    )
+    return df.join(
+        F.broadcast(cdf.select("sid").distinct()), "sid", "left_semi"
+    ).join(passed_ids, ["url", "sid"], "left_semi")
+
+
 def bit_values_sql(rules: list[Rule]) -> tuple[str, str]:
     writes, tests = bit_ops_rows(rules)
 
@@ -175,12 +267,16 @@ def bit_values_sql(rules: list[Rule]) -> tuple[str, str]:
 
 def bit_tests_sql(rules: list[Rule], rel: str = "wgated") -> str:
     """DuckDB twin of :func:`apply_bit_tests`: returns the full SQL for
-    the bit-gated relation (non-testers UNION passing testers)."""
+    the bit-gated relation (non-testers UNION passing isset/isnotset
+    testers UNION passing flexbits-count testers)."""
     writes, tests = bit_ops_rows(rules)
-    if not tests:
+    counts = bit_count_rows(rules)
+    if not tests and not counts:
         return f"SELECT * FROM {rel}"
     wv, tv = bit_values_sql(rules)
-    tester_sids = ", ".join(str(t[0]) for t in tests)
+    all_tester_sids = ", ".join(
+        str(s) for s in sorted({t[0] for t in tests} | {c[0] for c in counts})
+    )
     ekey = track_key_sql("bw.track", prefix="g.")
     tkey = track_key_sql("bt.track", prefix="t.")
     cols = (
@@ -190,8 +286,43 @@ def bit_tests_sql(rules: list[Rule], rel: str = "wgated") -> str:
         "after_count, after_seconds, th_type, th_track, th_count, th_seconds, "
         "src_cc, dst_cc, priority, description"
     )
+    count_branch = ""
+    if counts:
+        cvals = ", ".join(
+            f"({sid}, '{name}', '{track}', '{cmp}', {val})"
+            for sid, name, track, cmp, val in counts
+        )
+        cv = f"(VALUES {cvals}) AS bc(sid, name, track, cmp, cval)"
+        ckey = track_key_sql("bc.track", prefix="t2.")
+        count_branch = f"""
+UNION ALL
+SELECT {cols} FROM {rel} t
+WHERE t.sid IN ({", ".join(str(c[0]) for c in counts)})
+  AND (t.url, t.sid) IN (
+    SELECT (url, sid) FROM (
+      SELECT t2.url, t2.sid, bc.cmp, bc.cval, count(ev.eurl) AS n
+      FROM {rel} t2 JOIN {cv} ON t2.sid = bc.sid
+      LEFT JOIN (
+        SELECT bw.name AS ename, {ekey} AS ekey, g.warc_epoch AS eepoch,
+               g.url AS eurl, bw.expire AS eexpire
+        FROM {rel} g JOIN {wv} ON g.sid = bw.sid WHERE bw.op = 'set'
+      ) ev ON ev.ename = bc.name AND ev.ekey = {ckey}
+          AND (ev.eepoch < t2.warc_epoch
+               OR (ev.eepoch = t2.warc_epoch AND ev.eurl <= t2.url))
+          AND (ev.eexpire IS NULL OR t2.warc_epoch < ev.eepoch + ev.eexpire)
+      GROUP BY t2.url, t2.sid, bc.name, bc.cmp, bc.cval
+    ) GROUP BY url, sid
+    HAVING bool_and(CASE cmp WHEN 'gt' THEN n > cval
+                             WHEN 'lt' THEN n < cval
+                             ELSE n = cval END))
+""".rstrip()
+    if not tests:
+        return (
+            f"SELECT {cols} FROM {rel} WHERE sid NOT IN ({all_tester_sids})"
+            + count_branch
+        )
     return f"""
-SELECT {cols} FROM {rel} WHERE sid NOT IN ({tester_sids})
+SELECT {cols} FROM {rel} WHERE sid NOT IN ({all_tester_sids}){count_branch}
 UNION ALL
 SELECT {cols} FROM (
   SELECT t.*, ev.eop, ev.eexpire, ev.eepoch,

@@ -217,3 +217,80 @@ def eve_json(routed: DataFrame) -> DataFrame:
         F.col("proto"),
     )
     return routed.select("sink", F.to_json(rec).alias("event"))
+
+
+def _eve_struct_canonical():
+    """The canonical (null-free) EVE record struct: every nullable field
+    is coalesced to a sentinel so ``to_json`` emits every key on every
+    row — which is what makes a byte-identical concat twin possible in
+    the DuckDB oracle (``to_json`` omits null fields, and a conditional
+    twin would have to re-implement Jackson).  Field values stay in the
+    JSON-safe charset the pages synthesis produces (no quotes/
+    backslashes/control chars — fixture property)."""
+    return F.struct(
+        F.col("warc_epoch").alias("timestamp"),
+        F.lit("alert").alias("event_type"),
+        F.struct(
+            F.col("signature_id").alias("signature_id"),
+            F.coalesce("classtype", F.lit("unknown")).alias("category"),
+            F.coalesce(F.col("priority"), F.lit(0)).alias("severity"),
+            F.split(F.coalesce(F.col("refs"), F.lit("")), r"\|").alias("references"),
+        ).alias("alert"),
+        F.col("url"),
+        F.col("domain"),
+        F.coalesce("src_ip", F.lit("-")).alias("src_ip"),
+        F.coalesce("dst_ip", F.lit("-")).alias("dst_ip"),
+        F.coalesce("proto", F.lit("none")).alias("proto"),
+    )
+
+
+def eve_canonical(routed: DataFrame) -> DataFrame:
+    """K3 oracle surface: the eve-sink subset rendered as canonical
+    JSON (fixed key set, sentinel-coalesced) via ``to_json`` — the
+    DuckDB twin (:func:`eve_canonical_sql`) builds the identical bytes
+    by explicit concatenation, so the CORRECTNESS hash compares the
+    actual serialized sink payload ([U] src/output-plugins/eve.c)."""
+    return routed.where(F.col("sink") == "eve").select(
+        "signature_id", "url", F.to_json(_eve_struct_canonical()).alias("event")
+    )
+
+
+def eve_canonical_sql() -> str:
+    """DuckDB byte-twin of :func:`eve_canonical` over the oracle
+    ``routed`` CTE.  Key order/spacing matches Spark ``to_json``
+    (Jackson compact): no spaces, struct field order, arrays as
+    ["a","b"]."""
+    refs_arr = (
+        "'[\"' || replace(coalesce(refs, ''), '|', '\",\"') || '\"]'"
+    )
+    return f"""
+SELECT signature_id, url,
+  '{{"timestamp":' || CAST(warc_epoch AS VARCHAR)
+  || ',"event_type":"alert","alert":{{"signature_id":' || CAST(signature_id AS VARCHAR)
+  || ',"category":"' || coalesce(classtype, 'unknown')
+  || '","severity":' || CAST(coalesce(priority, 0) AS VARCHAR)
+  || ',"references":' || {refs_arr}
+  || '}},"url":"' || url || '","domain":"' || domain
+  || '","src_ip":"' || coalesce(src_ip, '-')
+  || '","dst_ip":"' || coalesce(dst_ip, '-')
+  || '","proto":"' || coalesce(proto, 'none') || '"}}' AS event
+FROM routed WHERE sink = 'eve'
+""".strip()
+
+
+def external_payload(routed: DataFrame) -> DataFrame:
+    """K5: the alert document handed to an external program on stdin
+    ([U] src/output-plugins/external.c — fork/exec with the alert JSON
+    piped in).  The batch re-expression materializes that exact payload
+    column on the external-sink subset; an operational deployment would
+    ``foreachPartition`` these lines into the program, which is a side
+    effect, not a semantic."""
+    return routed.where(F.col("sink") == "external").select(
+        "signature_id", "url", F.to_json(_eve_struct_canonical()).alias("payload")
+    )
+
+
+def external_payload_sql() -> str:
+    """DuckDB byte-twin of :func:`external_payload`."""
+    inner = eve_canonical_sql().replace("WHERE sink = 'eve'", "WHERE sink = 'external'")
+    return inner.replace("AS event", "AS payload")

@@ -159,6 +159,22 @@ alert syslog any any -> any any (msg:"early word set"; \
 alert syslog any any -> any any (msg:"proto word right after"; content:" proto "; \
   meta_content:"%sagan%","tcp","udp"; meta_distance:0; meta_within:4; \
   classtype:scan-detect; sink:"eve"; sid:5000030;)
+
+# --- external-program sink (K5): routed subset whose alert-JSON payload
+# is materialized as the stdin document ([U] output-plugins/external.c)
+alert syslog any any -> any any (msg:"merge to external handler"; \
+  content:"merge"; parse_src_ip: 1; parse_dst_ip: 2; \
+  reference:url,sagan.quadrantsec.com/external/handler; \
+  classtype:web-anomaly; sink:"external"; sid:5000031;)
+
+# --- flexbits count (A5 counter form; [U] src/flexbit.c): passes when
+# MORE THAN 2 unexpired brute set-events exist for the domain at the
+# tester's event time (sets from sid 5000019, expire 7200; unsets from
+# sid 5000022 do NOT decrement — documented counter semantics)
+alert syslog any any -> any any (msg:"domain brute-set repeatedly"; \
+  content:"window"; \
+  flexbits:count,brute,track by_domain,gt 2; \
+  classtype:correlated; sink:"external"; sid:5000032;)
 """
 
 
@@ -193,6 +209,52 @@ GEO_RANGES: list[tuple[str, int, str]] = [
     ("192.168.0.0", 16, "LAN"),
     ("192.168.7.0", 24, "DMZ"),  # nested in 192.168/16
 ]
+
+# IPv6 GeoIP dim (E1 v6 path; SURVEY §1.2): 128-bit ranges as python
+# ints, flattened/bucketed by the same longest-prefix sweep as v4 and
+# joined on 32-char fixed-width hex.  Nested prefixes pin longest-
+# prefix-wins in the v6 form too.  Covers the synthesized v6 triggers
+# (2001:db8:0:0:<doc>:<rep>:0:1 and 2001:db8::<doc>).
+def _h6(s: str) -> int:
+    return int(s, 16)
+
+
+GEO6_RANGES: list[tuple[int, int, int, str]] = [
+    (_h6("20010db8" + "0" * 24), _h6("20010db8" + "f" * 24), 32, "V6NET"),
+    # g5 ∈ [0200, 02ff] — nested in the /32 (doc_ids 200-299 at any sf)
+    (
+        _h6("20010db800000000" + "0200" + "0" * 12),
+        _h6("20010db800000000" + "02ff" + "f" * 12),
+        72,
+        "V6DE",
+    ),
+    # g5 ∈ [0230, 023f] — nested in V6DE
+    (
+        _h6("20010db800000000" + "0230" + "0" * 12),
+        _h6("20010db800000000" + "023f" + "f" * 12),
+        76,
+        "V6CN",
+    ),
+    (
+        _h6("20010db800000000" + "0500" + "0" * 12),
+        _h6("20010db800000000" + "05ff" + "f" * 12),
+        72,
+        "V6FR",
+    ),
+]
+
+
+def geo6_rows() -> list[tuple[int, int, int, str]]:
+    return list(GEO6_RANGES)
+
+
+def geo6_values_sql() -> str:
+    rows = ", ".join(
+        f"('{format(s, '032x')}', '{format(e, '032x')}', {p}, '{cc}')"
+        for s, e, p, cc in GEO6_RANGES
+    )
+    return f"(VALUES {rows}) AS g6(net_start, net_end, prefix_len, cc)"
+
 
 # blacklist processor dim ([U] src/processors/blacklist.c) — CIDR lists
 BLACKLIST_RANGES: list[tuple[str, int, str]] = [

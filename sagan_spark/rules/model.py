@@ -124,11 +124,19 @@ class XbitOp:
     ``flexbits`` parse into the same op with ``flex=True`` (wider key).
     """
 
-    op: str  # set | unset | isset | isnotset
+    op: str  # set | unset | isset | isnotset | count
     name: str
     track: str  # by_src | by_dst | by_domain | ip_pair
     expire: int | None = None  # seconds; None = never expires (set ops only)
     flex: bool = False
+    # ``flexbits: count, name, track ..., gt|lt|eq N`` ([U] src/flexbit.c
+    # counter comparisons).  Batch semantics (fixture-defining — upstream
+    # ships no tests): the counter value at a tester's event time is the
+    # number of UNEXPIRED ``set`` events for (name, key) at-or-before it
+    # under the total order (warc_epoch, url); ``unset`` does not
+    # decrement (documented simplification of the mmap counter).
+    cmp: str | None = None  # gt | lt | eq (count op only)
+    value: int | None = None
 
 
 @dataclass
@@ -200,3 +208,6 @@ class Rule:
 
     def bit_writes(self) -> tuple[XbitOp, ...]:
         return tuple(x for x in self.xbits if x.op in ("set", "unset"))
+
+    def bit_counts(self) -> tuple[XbitOp, ...]:
+        return tuple(x for x in self.xbits if x.op == "count")

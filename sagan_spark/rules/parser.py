@@ -268,14 +268,34 @@ def parse_rule(line: str, variables: dict[str, str] | None = None) -> Rule:
         elif key in ("xbits", "flexbits"):
             parts = [p.strip() for p in val.split(",")]
             op, name = parts[0], parts[1] if len(parts) > 1 else ""
-            track, expire = "by_src", None
+            track, expire, cmp, value = "by_src", None, None, None
+            _CMP = {"gt": "gt", ">": "gt", "lt": "lt", "<": "lt", "eq": "eq", "=": "eq"}
             for p in parts[2:]:
                 if p.startswith("track "):
                     track = p.split(None, 1)[1]
                 elif p.startswith("expire "):
                     expire = int(p.split(None, 1)[1])
+                elif p.split(None, 1)[0] in _CMP:
+                    cmp = _CMP[p.split(None, 1)[0]]
+                    value = int(p.split(None, 1)[1])
+            if op == "count":
+                # counter comparison form ([U] src/flexbit.c) — only
+                # valid on flexbits, and the comparator is mandatory:
+                # a count test without one would pass-all silently
+                if key != "flexbits":
+                    raise ValueError("count op is a flexbits form, not xbits")
+                if cmp is None or value is None:
+                    raise ValueError("flexbits count needs 'gt|lt|eq N'")
             xbits.append(
-                XbitOp(op=op, name=name, track=track, expire=expire, flex=key == "flexbits")
+                XbitOp(
+                    op=op,
+                    name=name,
+                    track=track,
+                    expire=expire,
+                    flex=key == "flexbits",
+                    cmp=cmp,
+                    value=value,
+                )
             )
         elif key in ("noalert", "flowbits"):
             pass  # accepted, no-op in the batch model

@@ -77,6 +77,126 @@ def _apply(hits: DataFrame, sid: int, track: str, fn) -> DataFrame:
     )
 
 
+BIT_STATE_SCHEMA = "eepoch long, eop string, eexpire long"
+
+
+def _bit_fn():
+    """Per-(name, key) streaming bit store ([U] src/xbit.c — the mmap
+    slot becomes group state holding the LATEST bit event).  Rows are
+    processed in the batch path's total order (warc_epoch, url, kind,
+    sid): writer rows update the state, tester rows evaluate
+    isset/isnotset against it (set + strictly-inside expiry — same
+    boundary as gates/xbits.py)."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        if state.exists:
+            eepoch, eop, eexpire = state.get()
+            if eepoch < 0:
+                eepoch, eop, eexpire = None, None, None
+            elif eexpire < 0:
+                eexpire = None
+        else:
+            eepoch, eop, eexpire = None, None, None
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(
+            ["warc_epoch", "url", "kind", "sid"], ignore_index=True
+        )
+        keep = []
+        for r in rows.itertuples():
+            t = int(r.warc_epoch)
+            if r.kind == 0:
+                eepoch, eop = t, r.op
+                eexpire = None if pd.isna(r.expire) else int(r.expire)
+                keep.append(False)
+            else:
+                isset = (
+                    eop == "set"
+                    and eepoch is not None
+                    and (eexpire is None or t < eepoch + eexpire)
+                )
+                keep.append(isset if r.test_op == "isset" else not isset)
+        state.update(
+            (
+                -1 if eepoch is None else eepoch,
+                eop or "",
+                -1 if eexpire is None else eexpire,
+            )
+        )
+        out = rows[pd.Series(keep)]
+        yield out[["url", "domain", "warc_epoch", "sid"]]
+
+    return fn
+
+
+def xbits_gate_stream(hits: DataFrame, rules) -> DataFrame:
+    """Streaming xbits/flexbits set/unset/isset/isnotset (SURVEY §2.6
+    A4-A5 on the streaming path; closes the r2 gap where a streaming
+    deployment of an xbits ruleset silently lost those rules).
+
+    Writer- and tester-rule rows are unioned into one (name, key)
+    stream; ``applyInPandasWithState`` holds the latest bit event per
+    group.  Agreement with the batch join-back (gates/xbits.py) is
+    exact under in-order arrival (availableNow drain — pinned by
+    tests/test_streaming_gates.py); ``count`` testers are rejected
+    loudly rather than silently dropped."""
+    from functools import reduce
+
+    from sagan_spark.gates.xbits import bit_count_rows, bit_ops_rows
+
+    writes, tests = bit_ops_rows(rules)
+    if bit_count_rows(rules):
+        raise NotImplementedError(
+            "flexbits count is batch-only (needs the event multiset, "
+            "not the latest bit) — run those rules through the batch path"
+        )
+    if not tests:
+        return hits.where(F.lit(False)).select(
+            "url", "domain", "warc_epoch", "sid"
+        )
+    branches = []
+    for sid, name, track, op, expire in writes:
+        branches.append(
+            hits.where(F.col("sid") == sid).select(
+                F.lit(name).alias("bname"),
+                gate_key_col(track).alias("bkey"),
+                "warc_epoch",
+                "url",
+                "domain",
+                "sid",
+                F.lit(0).alias("kind"),
+                F.lit(op).alias("op"),
+                F.lit(expire).cast("long").alias("expire"),
+                F.lit(None).cast("string").alias("test_op"),
+            )
+        )
+    for sid, name, track, op in tests:
+        branches.append(
+            hits.where(F.col("sid") == sid).select(
+                F.lit(name).alias("bname"),
+                gate_key_col(track).alias("bkey"),
+                "warc_epoch",
+                "url",
+                "domain",
+                "sid",
+                F.lit(1).alias("kind"),
+                F.lit(None).cast("string").alias("op"),
+                F.lit(None).cast("long").alias("expire"),
+                F.lit(op).alias("test_op"),
+            )
+        )
+    stream = reduce(lambda a, b: a.unionByName(b), branches)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return stream.groupBy("bname", "bkey").applyInPandasWithState(
+        _bit_fn(),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=BIT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def after_gate_stream(
     hits: DataFrame, sid: int, track: str, count: int, seconds: int
 ) -> DataFrame:

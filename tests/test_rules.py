@@ -78,11 +78,35 @@ def test_parse_p6_options():
     assert r2.syslog_tag == ("kernel",) and r2.syslog_tag_negated
 
 
+def test_parse_flexbits_count():
+    r = parse_rule(
+        "alert syslog any any -> any any (msg:\"c\"; content:\"x\"; "
+        "flexbits:count,brute,track by_domain,gt 2; sid:8;)"
+    )
+    x = r.bit_counts()[0]
+    assert (x.op, x.name, x.track, x.cmp, x.value) == (
+        "count", "brute", "by_domain", "gt", 2
+    )
+    assert not r.bit_tests() and not r.bit_writes()
+    import pytest
+
+    with pytest.raises(ValueError, match="flexbits"):
+        parse_rule(
+            "alert syslog any any -> any any (msg:\"c\"; content:\"x\"; "
+            "xbits:count,brute,track by_domain,gt 2; sid:9;)"
+        )
+    with pytest.raises(ValueError, match="gt|lt|eq"):
+        parse_rule(
+            "alert syslog any any -> any any (msg:\"c\"; content:\"x\"; "
+            "flexbits:count,brute,track by_domain; sid:10;)"
+        )
+
+
 def test_fixture_ruleset_parses():
     rules = fixture_rules()
-    assert len(rules) == 30
+    assert len(rules) == 32
     sids = {r.sid for r in rules}
-    assert min(sids) == 5000001 and max(sids) == 5000030
+    assert min(sids) == 5000001 and max(sids) == 5000032
 
 
 def test_match_parity_spark_vs_duckdb(spark, duck):

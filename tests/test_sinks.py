@@ -17,7 +17,7 @@ def test_write_sinks_partitioned(spark, tmp_path):
     pages = pages_table(spark, SF_DIR, rep=2)
     out = str(tmp_path / "sinks")
     counts = pipe.write_sinks(pages, out)
-    assert set(counts) == {"fast", "alert", "eve"}
+    assert set(counts) == {"fast", "alert", "eve", "external"}
     # single-pass layout: out/sink=<s>/signature_id=<n>/, readable back
     # per sink with the same totals
     for sink, n in counts.items():

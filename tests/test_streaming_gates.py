@@ -9,7 +9,11 @@ from pyspark.sql import functions as F
 
 from sagan_spark.pages import pages_table
 from sagan_spark.pipeline import Pipeline
-from sagan_spark.streaming.gates import after_gate_stream, suppress_gate_stream
+from sagan_spark.streaming.gates import (
+    after_gate_stream,
+    suppress_gate_stream,
+    xbits_gate_stream,
+)
 from sagan_spark.streaming.stream import read_pages_stream, streaming_hits
 
 from .conftest import SF_DIR
@@ -59,3 +63,54 @@ def test_streaming_after_and_suppress_match_batch(spark, tmp_path):
     }
     assert got_after == exp_after and len(exp_after) > 0
     assert got_supp == exp_supp and len(exp_supp) > 0
+
+
+def test_streaming_xbits_match_batch(spark, tmp_path):
+    """Streaming bit store agrees with the batch join-back for the
+    brute-bit rule family (set 5000019 / isset 5000020 / isnotset
+    5000021 / unset 5000022) under an in-order availableNow drain."""
+    from sagan_spark.rules.fixture_rules import fixture_rules
+
+    pages = pages_table(spark, SF_DIR, rep=2)
+    src = str(tmp_path / "pages_src_xb")
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+
+    brute = [r for r in fixture_rules() if r.sid in (5000019, 5000020, 5000021, 5000022)]
+    hits = streaming_hits(read_pages_stream(spark, src))
+    gated = xbits_gate_stream(hits, brute)
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("xbits_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_xb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r["url"], r["sid"]) for r in spark.table("xbits_stream").collect()}
+
+    pipe = Pipeline(spark)
+    batch = pipe.gated(spark.read.parquet(src))
+    exp = {
+        (r["url"], r["sid"])
+        for r in batch.where(F.col("sid").isin([5000020, 5000021]))
+        .select("url", "sid")
+        .collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_streaming_flexbits_count_rejected(spark, tmp_path):
+    """A streaming deployment of a ruleset with flexbits count fails
+    loudly instead of silently dropping those rules."""
+    import pytest
+
+    from sagan_spark.rules.fixture_rules import fixture_rules
+
+    rules = [r for r in fixture_rules() if r.sid in (5000019, 5000032)]
+    pages = pages_table(spark, SF_DIR, rep=1)
+    src = str(tmp_path / "pages_src_cnt")
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+    hits = streaming_hits(read_pages_stream(spark, src))
+    with pytest.raises(NotImplementedError, match="batch-only"):
+        xbits_gate_stream(hits, rules)
