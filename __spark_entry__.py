@@ -184,6 +184,20 @@ def _q_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     return external_payload(_pipeline(spark).routed(_pages(spark, sf_dir)))
 
 
+def _q_syslog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import syslog_lines
+
+    p = _pipeline(spark)
+    return syslog_lines(p.routed(_pages(spark, sf_dir)), p.rules)
+
+
+def _q_smtp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.route.formats import smtp_messages
+
+    p = _pipeline(spark)
+    return smtp_messages(p.routed(_pages(spark, sf_dir)), p.rules)
+
+
 def _q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sagan_spark.route.stats import domain_stats
 
@@ -241,6 +255,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sink_unified2_hex": _q_unified2,
         "sink_eve_json": _q_eve,
         "sink_external_payload": _q_external,
+        "sink_syslog_rfc5424": _q_syslog,
+        "sink_smtp_message": _q_smtp,
         "stats_domain_salted": _q_domain_stats,
         "track_clients_stale": _q_stale_clients,
         "xbits_state_table": _q_bit_state,
@@ -367,6 +383,14 @@ def oracle_sql() -> dict[str, str]:
 
     out["sink_eve_json"] = oracle_query(eve_canonical_sql(), rep=QUERY_REP)
     out["sink_external_payload"] = oracle_query(external_payload_sql(), rep=QUERY_REP)
+    from sagan_spark.route.formats import smtp_messages_sql, syslog_lines_sql
+
+    out["sink_syslog_rfc5424"] = oracle_query(
+        syslog_lines_sql(list(fixture_rules())), rep=QUERY_REP
+    )
+    out["sink_smtp_message"] = oracle_query(
+        smtp_messages_sql(list(fixture_rules())), rep=QUERY_REP
+    )
     out["stats_domain_salted"] = oracle_query(DOMAIN_STATS_SQL, rep=QUERY_REP)
     out["track_clients_stale"] = pages_with(rep=QUERY_REP) + "\n" + stale_clients_sql()
     out["xbits_state_table"] = oracle_query(

@@ -67,6 +67,10 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(similarity.load_embeddings(spark, sf_dir))
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ivf_topk(similarity.load_embeddings(spark, sf_dir))
+
+
 def _q_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.lang_id(text.load_documents(spark, sf_dir))
 
@@ -103,6 +107,7 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": _q_simhash_pairs,
         "ann_bruteforce_cosine": _q_ann_brute,
         "ann_lsh_bucketed": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "text_lang_id": _q_lang,
         "text_token_counts": _q_tokens,
         "text_quality_scores": _q_quality,
@@ -131,6 +136,7 @@ def datapipe_oracles() -> dict[str, str]:
         "dedup_simhash_pairs": cw + dedup.simhash_pairs_sql(),
         "ann_bruteforce_cosine": similarity.brute_force_sql(),
         "ann_lsh_bucketed": similarity.lsh_topk_sql(),
+        "ann_ivf_topk": similarity.ivf_topk_sql(),
         "text_lang_id": text.lang_id_sql(),
         "text_token_counts": text.token_counts_sql(),
         "text_quality_scores": text.quality_scores_sql(),

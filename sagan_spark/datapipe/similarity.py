@@ -285,6 +285,157 @@ WHERE cos >= {threshold}
 """.strip()
 
 
+# --- IVF ANN (the inverted-file scale path) --------------------------------
+# Deterministic "trained" centroid set: every CENTROID_STRIDE-th corpus
+# vector (k-means training is iterative/nondeterministic; a fixed sample
+# is the deterministic stand-in — everything downstream of training has
+# the identical plan shape).  ~16 centroids on the 500-vector test dim;
+# production sizes k ≈ sqrt(corpus) and trains offline.
+CENTROID_STRIDE = 32
+NPROBE = 6
+
+
+def _centroids(emb: DataFrame) -> DataFrame:
+    return emb.where(F.col("vec_id") % CENTROID_STRIDE == 0).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cemb")
+    )
+
+
+def _hof_cos(vec_col, cent_emb, row_norm):
+    """Rounded cosine between the row vector and one centroid struct's
+    embedding, as zip_with→aggregate left-folds (left-assoc sum seeded
+    0.0 ⇒ bit-identical to the oracle's explicit 64-term sum)."""
+    dot = F.aggregate(
+        F.zip_with(
+            vec_col, cent_emb, lambda x, y: x.cast("double") * y.cast("double")
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    cnorm = F.sqrt(
+        F.aggregate(
+            F.transform(cent_emb, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    return F.round(dot / (row_norm * cnorm), 6)
+
+
+def ivf_cells(emb: DataFrame) -> DataFrame:
+    """Corpus rows + their IVF cell id — a pure projection on the corpus
+    side: the centroid set rides in as a one-row broadcast array and the
+    argmax-over-centroids runs inside a single aggregate() expression,
+    so the 10^12-row side never shuffles for assignment (contrast a
+    join+groupBy argmax, which shuffles the full corpus)."""
+    cents = _centroids(emb).select(F.struct("cid", "cemb").alias("c"))
+    cent_arr = cents.agg(F.array_sort(F.collect_list("c")).alias("cents"))
+    withc = emb.crossJoin(F.broadcast(cent_arr))
+    row_norm = _norm_spark("embedding")
+    init = F.struct(
+        F.lit(-2.0).alias("cos"), F.lit(2**62).cast("long").alias("cid")
+    )
+
+    def merge(acc, c):
+        cos = _hof_cos(F.col("embedding"), c["cemb"], row_norm)
+        better = (cos > acc["cos"]) | (
+            (cos == acc["cos"]) & (c["cid"] < acc["cid"])
+        )
+        return F.when(
+            better, F.struct(cos.alias("cos"), c["cid"].alias("cid"))
+        ).otherwise(acc)
+
+    best = F.aggregate(F.col("cents"), init, merge)
+    return withc.select("vec_id", "embedding", best["cid"].alias("cell"))
+
+
+def ivf_topk(
+    emb: DataFrame, k: int = TOPK, n_queries: int = N_QUERIES, nprobe: int = NPROBE
+) -> DataFrame:
+    """IVF ANN: each query probes its `nprobe` nearest cells; candidates
+    are the corpus rows assigned to those cells (bucket equi-join with
+    the tiny probed-query side broadcast — never all-pairs); exact
+    cosine re-rank inside the probed cells.  Every corpus row has
+    exactly ONE cell and probes are distinct cells ⇒ no duplicate
+    candidates ⇒ no dedup pass.  Worst-case recall (near-random
+    vectors) ≈ probed-cell mass; real clustered corpora concentrate
+    neighbors in the top probes — recall floor asserted in
+    tests/test_ann_recall.py."""
+    cells = ivf_cells(emb)
+    cents = _centroids(emb)
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    qc = F.broadcast(q).crossJoin(F.broadcast(cents))
+    qcos = F.round(
+        _dot_spark("qe", "cemb") / (_norm_spark("qe") * _norm_spark("cemb")), 6
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(F.col("qcos").desc(), F.col("cid"))
+    probes = (
+        qc.withColumn("qcos", qcos)
+        .withColumn("prn", F.row_number().over(wprobe))
+        .where(F.col("prn") <= nprobe)
+        .select("query_id", "qe", F.col("cid").alias("cell"))
+    )
+    j = F.broadcast(probes).join(cells, "cell").where(
+        F.col("query_id") != F.col("vec_id")
+    )
+    cos = F.round(
+        _dot_spark("qe", "embedding") / (_norm_spark("qe") * _norm_spark("embedding")),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        j.withColumn("cos", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            "cos",
+        )
+    )
+
+
+def ivf_topk_sql(
+    k: int = TOPK, n_queries: int = N_QUERIES, nprobe: int = NPROBE
+) -> str:
+    """Oracle twin via an independent route: cell assignment as a
+    window argmax over the corpus×centroid join (vs the engine's
+    fold-over-broadcast-array), probing and re-rank as windows."""
+    ccos = f"round({dot_sql('e.embedding', 'c.cemb')} / ({norm_sql('e.embedding')} * {norm_sql('c.cemb')}), 6)"
+    cos = f"round({dot_sql('p.qe', 's.embedding')} / ({norm_sql('p.qe')} * {norm_sql('s.embedding')}), 6)"
+    return f"""
+WITH cents AS (
+  SELECT vec_id AS cid, embedding AS cemb FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+),
+assign AS (
+  SELECT e.vec_id, e.embedding, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c
+),
+cells AS (
+  SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1
+),
+qassign AS (
+  SELECT e.vec_id AS query_id, e.embedding AS qe, c.cid,
+    row_number() OVER (PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cid) AS rn
+  FROM embeddings e CROSS JOIN cents c
+  WHERE e.vec_id < {n_queries}
+),
+probes AS (
+  SELECT query_id, qe, cid AS cell FROM qassign WHERE rn <= {nprobe}
+)
+SELECT query_id, neighbor_id, rank, cos FROM (
+  SELECT p.query_id, s.vec_id AS neighbor_id, {cos} AS cos,
+    row_number() OVER (PARTITION BY p.query_id ORDER BY {cos} DESC, s.vec_id) AS rank
+  FROM probes p JOIN cells s ON p.cell = s.cell AND p.query_id <> s.vec_id
+)
+WHERE rank <= {k}
+""".strip()
+
+
 def lsh_topk_sql(k: int = TOPK, n_queries: int = N_QUERIES) -> str:
     cos = f"round({dot_sql('q.embedding', 'c.embedding')} / ({norm_sql('q.embedding')} * {norm_sql('c.embedding')}), 6)"
     return f"""

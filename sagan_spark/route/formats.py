@@ -50,19 +50,16 @@ FROM routed
 """.strip()
 
 
-def alert_blocks(routed: DataFrame, rules) -> DataFrame:
-    """K2: the full multi-line "alert" format ([U] alert.c):
+def _msg_map(rules):
+    """Compile-time sid → msg map (no join)."""
+    return F.create_map(*[F.lit(x) for r in rules for x in (r.sid, r.msg)])
 
-        [**] [gid:sid:rev] msg [**]
-        [Classification: classtype] [Priority: n]
-        ts src:port -> dst {proto} domain url
 
-    ``rules`` supplies the per-sid msg text (compile-time map — no
-    join)."""
-    msg_map = F.create_map(
-        *[F.lit(x) for r in rules for x in (r.sid, r.msg)]
-    )
-    block = F.concat(
+def _alert_block_col(rules):
+    """The K2 multi-line alert block as a column expression, shared by
+    the alert sink (K2) and the SMTP body (K6)."""
+    msg_map = _msg_map(rules)
+    return F.concat(
         F.lit("[**] [1:"),
         F.col("signature_id").cast("string"),
         F.lit(":"),
@@ -88,30 +85,49 @@ def alert_blocks(routed: DataFrame, rules) -> DataFrame:
         F.lit(" "),
         F.col("url"),
     )
+
+
+def alert_blocks(routed: DataFrame, rules) -> DataFrame:
+    """K2: the full multi-line "alert" format ([U] alert.c):
+
+        [**] [gid:sid:rev] msg [**]
+        [Classification: classtype] [Priority: n]
+        ts src:port -> dst {proto} domain url
+
+    ``rules`` supplies the per-sid msg text (compile-time map — no
+    join)."""
     return routed.where(F.col("sink") == "alert").select(
-        "signature_id", "url", block.alias("block")
+        "signature_id", "url", _alert_block_col(rules).alias("block")
     )
 
 
-def alert_blocks_sql(rules) -> str:
-    """DuckDB twin over the oracle `routed` CTE (chr(10) newlines —
-    identical bytes to the Spark literal)."""
-    msg_case = (
+def _msg_case_sql(rules) -> str:
+    return (
         "CASE signature_id "
         + " ".join(
             f"WHEN {r.sid} THEN '{r.msg.replace(chr(39), chr(39) * 2)}'" for r in rules
         )
         + " ELSE '' END"
     )
-    return f"""
-SELECT signature_id, url,
-  '[**] [1:' || CAST(signature_id AS VARCHAR) || ':' || coalesce(CAST(rev AS VARCHAR), '1')
-  || '] ' || {msg_case} || ' [**]' || chr(10)
+
+
+def _alert_block_sql(rules) -> str:
+    """DuckDB twin of :func:`_alert_block_col` (chr(10) newlines —
+    identical bytes to the Spark literal)."""
+    return f"""'[**] [1:' || CAST(signature_id AS VARCHAR) || ':' || coalesce(CAST(rev AS VARCHAR), '1')
+  || '] ' || {_msg_case_sql(rules)} || ' [**]' || chr(10)
   || '[Classification: ' || coalesce(classtype, 'unknown') || '] [Priority: '
   || coalesce(CAST(priority AS VARCHAR), '0') || ']' || chr(10)
   || CAST(warc_epoch AS VARCHAR) || ' ' || coalesce(src_ip, '-') || ':'
   || coalesce(CAST(port AS VARCHAR), '0') || ' -> ' || coalesce(dst_ip, '-')
-  || ' {{' || coalesce(proto, 'none') || '}} ' || domain || ' ' || url AS block
+  || ' {{' || coalesce(proto, 'none') || '}} ' || domain || ' ' || url"""
+
+
+def alert_blocks_sql(rules) -> str:
+    """DuckDB twin over the oracle `routed` CTE."""
+    return f"""
+SELECT signature_id, url,
+  {_alert_block_sql(rules)} AS block
 FROM routed WHERE sink = 'alert'
 """.strip()
 
@@ -294,3 +310,75 @@ def external_payload_sql() -> str:
     """DuckDB byte-twin of :func:`external_payload`."""
     inner = eve_canonical_sql().replace("WHERE sink = 'eve'", "WHERE sink = 'external'")
     return inner.replace("AS event", "AS payload")
+
+
+# K6a: syslog re-emit ([U] src/output-plugins/syslog.c — the alert is
+# re-sent via syslog(3) with the configured facility/level).  The batch
+# re-expression renders the RFC-5424 line that call would emit:
+# PRI = facility<<3 | severity with facility fixed at local0 (16) and
+# severity = min(priority, 7); HOSTNAME = the alerting domain,
+# APP-NAME = sagan, MSGID = the sid.  The socket write itself is a side
+# effect (same stance as K5's fork/exec).
+SYSLOG_FACILITY = 16  # local0
+
+
+def syslog_lines(routed: DataFrame, rules) -> DataFrame:
+    pri = F.lit(SYSLOG_FACILITY * 8) + F.least(
+        F.coalesce(F.col("priority"), F.lit(0)), F.lit(7)
+    )
+    line = F.concat(
+        F.lit("<"),
+        pri.cast("string"),
+        F.lit(">1 "),
+        F.col("warc_epoch").cast("string"),
+        F.lit(" "),
+        F.col("domain"),
+        F.lit(" sagan - "),
+        F.col("signature_id").cast("string"),
+        F.lit(" - "),
+        F.coalesce(_msg_map(rules)[F.col("signature_id")], F.lit("")),
+        F.lit(" "),
+        F.col("url"),
+    )
+    return routed.where(F.col("sink") == "syslog").select(
+        "signature_id", "url", line.alias("line")
+    )
+
+
+def syslog_lines_sql(rules) -> str:
+    """DuckDB byte-twin of :func:`syslog_lines`."""
+    return f"""
+SELECT signature_id, url,
+  '<' || CAST({SYSLOG_FACILITY * 8} + least(coalesce(priority, 0), 7) AS VARCHAR)
+  || '>1 ' || CAST(warc_epoch AS VARCHAR) || ' ' || domain
+  || ' sagan - ' || CAST(signature_id AS VARCHAR) || ' - '
+  || {_msg_case_sql(rules)} || ' ' || url AS line
+FROM routed WHERE sink = 'syslog'
+""".strip()
+
+
+# K6b: SMTP ([U] src/output-plugins/smtp.c — emails the alert with the
+# rule msg as subject and the K2 alert block as the body).  The message
+# document is materialized; the SMTP session is a side effect.
+
+
+def smtp_messages(routed: DataFrame, rules) -> DataFrame:
+    message = F.concat(
+        F.lit("Subject: [Sagan] "),
+        F.coalesce(_msg_map(rules)[F.col("signature_id")], F.lit("")),
+        F.lit("\n\n"),
+        _alert_block_col(rules),
+    )
+    return routed.where(F.col("sink") == "smtp").select(
+        "signature_id", "url", message.alias("message")
+    )
+
+
+def smtp_messages_sql(rules) -> str:
+    """DuckDB byte-twin of :func:`smtp_messages`."""
+    return f"""
+SELECT signature_id, url,
+  'Subject: [Sagan] ' || {_msg_case_sql(rules)} || chr(10) || chr(10)
+  || {_alert_block_sql(rules)} AS message
+FROM routed WHERE sink = 'smtp'
+""".strip()

@@ -175,6 +175,16 @@ alert syslog any any -> any any (msg:"domain brute-set repeatedly"; \
   content:"window"; \
   flexbits:count,brute,track by_domain,gt 2; \
   classtype:correlated; sink:"external"; sid:5000032;)
+
+# --- syslog re-emit sink (K6; [U] output-plugins/syslog.c): routed
+# subset re-rendered as RFC-5424 lines (PRI = local0<<3 | severity)
+alert syslog any any -> any any (msg:"hash page re-emitted to syslog"; \
+  content:"hash="; parse_hash: md5; classtype:malware-hit; sink:"syslog"; sid:5000033;)
+
+# --- smtp sink (K6; [U] output-plugins/smtp.c): subject = rule msg,
+# body = the K2 alert block document
+alert syslog any any -> any any (msg:"ported page mailed"; \
+  content:"port "; parse_port; classtype:scan-detect; sink:"smtp"; sid:5000034;)
 """
 
 

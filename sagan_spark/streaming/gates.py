@@ -64,14 +64,16 @@ def _rolling_fn(count: int, seconds: int, mode: str):
     return fn
 
 
-def _apply(hits: DataFrame, sid: int, track: str, fn) -> DataFrame:
+def _apply(
+    hits: DataFrame, sid: int, track: str, fn, state_schema: str = STATE_SCHEMA
+) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     keyed = hits.where(F.col("sid") == sid).withColumn("gate_key", gate_key_col(track))
     return keyed.groupBy("sid", "gate_key").applyInPandasWithState(
         fn,
         outputStructType=OUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
@@ -209,3 +211,43 @@ def suppress_gate_stream(
 ) -> DataFrame:
     """Streaming ``threshold: type suppress`` for one rule."""
     return _apply(hits, sid, track, _rolling_fn(count, seconds, "suppress"))
+
+
+LIMIT_STATE_SCHEMA = "win long, n long"
+
+
+def _limit_fn(count: int, seconds: int):
+    """``threshold: type limit``: keep the first N per (sid, key) per
+    tumbling S-second window aligned to the epoch (win = epoch // S —
+    identical anchoring and (warc_epoch, url) order as the batch
+    row_number in gates/windows.py).  State is O(1): (window id,
+    emitted count)."""
+    import pandas as pd
+
+    def fn(key, pdf_iter, state):
+        win, n = state.get() if state.exists else (-1, 0)
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["warc_epoch", "url"], ignore_index=True)
+        keep = []
+        for t in rows["warc_epoch"]:
+            w = int(t) // seconds
+            if w != win:
+                win, n = w, 0
+            ok = n < count
+            if ok:
+                n += 1
+            keep.append(ok)
+        state.update((win, n))
+        yield rows[pd.Series(keep)][["url", "domain", "warc_epoch", "sid"]]
+
+    return fn
+
+
+def limit_gate_stream(
+    hits: DataFrame, sid: int, track: str, count: int, seconds: int
+) -> DataFrame:
+    """Streaming ``threshold: type limit`` for one rule (A2 on the
+    streaming path — completes the window-gate trio there)."""
+    return _apply(
+        hits, sid, track, _limit_fn(count, seconds), state_schema=LIMIT_STATE_SCHEMA
+    )

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 from sagan_spark.datapipe.similarity import (
     brute_force_topk,
+    ivf_cells,
+    ivf_topk,
     load_embeddings,
     lsh_multiprobe_topk,
     lsh_topk,
@@ -30,3 +32,22 @@ def test_multiprobe_recall_floor(spark):
     # multi-probe must not lose ground and must clear the floor
     assert r_multi >= r_single, (r_single, r_multi)
     assert r_multi >= 0.6, f"multi-probe recall@5 = {r_multi:.2f}"
+
+
+def test_ivf_partition_and_recall(spark):
+    emb = load_embeddings(spark, SF_DIR)
+    # every corpus vector lands in exactly one cell, cells are centroids
+    cells = ivf_cells(emb)
+    n = emb.count()
+    assert cells.count() == n
+    cents = {r["cell"] for r in cells.select("cell").distinct().collect()}
+    assert cents <= {i for i in range(0, n, 32)}, "cell ids must be centroid ids"
+    assert len(cents) > 1, "degenerate single-cell partition"
+    # recall floor: near-random vectors are IVF's worst case (neighbors
+    # spread uniformly over cells ⇒ recall ≈ probed mass).  nprobe=6 of
+    # ~16 cells ⇒ floor at 0.2; clustered production corpora sit far
+    # higher.  Measured at sf0.01: see BASELINE.md.
+    brute = _pairs(brute_force_topk(emb))
+    ivf = _pairs(ivf_topk(emb))
+    r_ivf = len(brute & ivf) / len(brute)
+    assert r_ivf >= 0.2, f"ivf recall@5 = {r_ivf:.2f}"

@@ -43,6 +43,24 @@ def test_flagship_no_nested_loop_join(spark):
     assert "BroadcastHashJoin" in plan  # the dimension joins
 
 
+def test_ivf_corpus_side_no_shuffle(spark):
+    """IVF cell assignment must be a pure projection on the corpus
+    side: the centroid set rides in as a one-row broadcast (nested-loop
+    is FINE there — one row), and no Exchange may touch the corpus
+    stream.  The only shuffle in the whole plan is the single-row
+    collect_list aggregate on the centroid side."""
+    from sagan_spark.datapipe.similarity import ivf_cells, load_embeddings
+
+    plan = _plan(ivf_cells(load_embeddings(spark, SF_DIR)))
+    # corpus scan feeds the broadcast join directly — no Exchange between
+    # the embeddings FileScan and the BroadcastNestedLoopJoin
+    corpus_branch = plan.split("BroadcastExchange")[0]
+    assert "embeddings.parquet" in corpus_branch
+    assert "Exchange" not in corpus_branch, (
+        "corpus side of IVF assignment shuffles:\n" + corpus_branch
+    )
+
+
 def test_python_crossings_are_arrow_only(spark):
     pipe = Pipeline(spark)
     pages = pages_table(spark, SF_DIR, rep=1)

@@ -104,9 +104,9 @@ def test_parse_flexbits_count():
 
 def test_fixture_ruleset_parses():
     rules = fixture_rules()
-    assert len(rules) == 32
+    assert len(rules) == 34
     sids = {r.sid for r in rules}
-    assert min(sids) == 5000001 and max(sids) == 5000032
+    assert min(sids) == 5000001 and max(sids) == 5000034
 
 
 def test_match_parity_spark_vs_duckdb(spark, duck):

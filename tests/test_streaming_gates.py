@@ -11,6 +11,7 @@ from sagan_spark.pages import pages_table
 from sagan_spark.pipeline import Pipeline
 from sagan_spark.streaming.gates import (
     after_gate_stream,
+    limit_gate_stream,
     suppress_gate_stream,
     xbits_gate_stream,
 )
@@ -52,6 +53,12 @@ def test_streaming_after_and_suppress_match_batch(spark, tmp_path):
         tmp_path,
         "supp_stream",
     )
+    got_limit = _drain(
+        spark,
+        limit_gate_stream(hits, 5000016, "by_domain", 2, 7200),
+        tmp_path,
+        "limit_stream",
+    )
 
     pipe = Pipeline(spark)
     batch = pipe.window_gated(spark.read.parquet(src))
@@ -61,8 +68,12 @@ def test_streaming_after_and_suppress_match_batch(spark, tmp_path):
     exp_supp = {
         r["url"] for r in batch.where(F.col("sid") == 5000018).select("url").collect()
     }
+    exp_limit = {
+        r["url"] for r in batch.where(F.col("sid") == 5000016).select("url").collect()
+    }
     assert got_after == exp_after and len(exp_after) > 0
     assert got_supp == exp_supp and len(exp_supp) > 0
+    assert got_limit == exp_limit and len(exp_limit) > 0
 
 
 def test_streaming_xbits_match_batch(spark, tmp_path):
