@@ -185,6 +185,7 @@ def main() -> None:
         queries["ann_lsh_multiprobe"] = _time(
             lambda: similarity.lsh_multiprobe_topk(emb).count()
         )
+        queries["ann_ivf_topk"] = _time(lambda: similarity.ivf_topk(emb).count())
         docs = text.load_documents(spark, sf_dir)
         queries["text_fingerprints"] = _time(lambda: text.fingerprints(docs).count())
 

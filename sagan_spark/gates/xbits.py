@@ -187,13 +187,25 @@ def _apply_count_tests(
     total order (warc_epoch, url); ``unset`` does not decrement.  The
     tester passes iff ``count <cmp> value`` for ALL of its count tests.
 
-    Scale shape: LEFT equi-join on (name, key) with time/expiry
-    residuals, then a per-tester count — a shuffled hash join whose hot
-    (name, key) groups ride on AQE skew splitting.  Unlike isset (which
-    only needs the LATEST event and therefore uses the linear
-    union-window form), count genuinely needs the event multiset, so
-    the join is the right primitive; the event side is pre-filtered to
-    the counted bit names."""
+    Scale shape (r3 fix): the first cut was a LEFT equi-join on
+    (name, key) with time/expiry residuals + a per-tester count.  That
+    join's output is O(sets × testers) **per key** — on the fixture's
+    hot Zipf domain at 320k pages it emits ~10^9 rows inside one key
+    group and a 2-core bench cell ran 6 minutes per rep (correct at
+    rep=4, melted at rep=64: the exact hot-key pathology the isset path
+    already avoids).  Count needs the event multiset, but a COUNT over
+    a multiset is a RUNNING SUM over a sorted stream: union set(+1) /
+    expiry(-1) / tester(read) rows per (name, key), sort once by the
+    deterministic total order, take sum(delta) over the running window.
+    One shuffle + sort, linear per key — hot keys are longer sorted
+    runs, never a pairwise blowup.  Ordering encodes the exact
+    semantics: at equal epoch, expiries (k0=0) precede everything
+    (expired iff t ≥ eepoch+expire), then sets/testers interleave by
+    url with set-before-tester at equal url (counted iff eurl ≤ url).
+    Sets with expire ≤ 0 can never be counted ((eepoch ≤ t) ∧
+    (t < eepoch) is empty) and are dropped from both streams.  The
+    DuckDB oracle keeps the join+filter formulation as an independent
+    cross-check."""
     cdf = spark.createDataFrame(
         counts, schema="sid long, name string, track string, cmp string, cval int"
     )
@@ -210,30 +222,68 @@ def _apply_count_tests(
         bit_events(df, writes_df)
         .where(F.col("op") == "set")
         .where(F.col("name").isin([c[1] for c in counts]))
+        .where(F.col("expire").isNull() | (F.col("expire") > 0))
         .select(
-            F.col("name").alias("ename"),
-            F.col("key").alias("ekey"),
+            F.col("name").alias("cname"),
+            F.col("key").alias("ckey"),
             F.col("warc_epoch").alias("eepoch"),
             F.col("url").alias("eurl"),
             F.col("expire").alias("eexpire"),
         )
     )
-    j = testers.join(
-        sets,
-        (F.col("cname") == F.col("ename"))
-        & (F.col("ckey") == F.col("ekey"))
-        & (
-            (F.col("eepoch") < F.col("warc_epoch"))
-            | ((F.col("eepoch") == F.col("warc_epoch")) & (F.col("eurl") <= F.col("url")))
-        )
-        & (
-            F.col("eexpire").isNull()
-            | (F.col("warc_epoch") < F.col("eepoch") + F.col("eexpire"))
-        ),
-        "left",
+    nl = lambda t: F.lit(None).cast(t)  # noqa: E731
+    set_rows = sets.select(
+        "cname",
+        "ckey",
+        F.col("eepoch").alias("epoch"),
+        F.lit(1).alias("k0"),
+        F.col("eurl").alias("surl"),
+        F.lit(0).alias("k1"),
+        F.lit(1).alias("delta"),
+        nl("string").alias("url"),
+        nl("long").alias("sid"),
+        nl("long").alias("warc_epoch"),
+        nl("string").alias("cmp"),
+        nl("int").alias("cval"),
     )
-    per_test = j.groupBy("url", "sid", "cname", "cmp", "cval").agg(
-        F.count("eurl").alias("n")
+    expiry_rows = sets.where(F.col("eexpire").isNotNull()).select(
+        "cname",
+        "ckey",
+        (F.col("eepoch") + F.col("eexpire")).alias("epoch"),
+        F.lit(0).alias("k0"),
+        F.lit("").alias("surl"),
+        F.lit(0).alias("k1"),
+        F.lit(-1).alias("delta"),
+        nl("string").alias("url"),
+        nl("long").alias("sid"),
+        nl("long").alias("warc_epoch"),
+        nl("string").alias("cmp"),
+        nl("int").alias("cval"),
+    )
+    tester_rows = testers.select(
+        "cname",
+        "ckey",
+        F.col("warc_epoch").alias("epoch"),
+        F.lit(1).alias("k0"),
+        F.col("url").alias("surl"),
+        F.lit(1).alias("k1"),
+        F.lit(0).alias("delta"),
+        "url",
+        "sid",
+        "warc_epoch",
+        "cmp",
+        "cval",
+    )
+    stream = set_rows.unionByName(expiry_rows).unionByName(tester_rows)
+    w = (
+        Window.partitionBy("cname", "ckey")
+        .orderBy("epoch", "k0", "surl", "k1")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    per_test = (
+        stream.withColumn("n", F.sum("delta").over(w))
+        .where(F.col("k1") == 1)
+        .select("url", "sid", "cname", "cmp", "cval", "n")
     )
     ok = (
         F.when(F.col("cmp") == "gt", F.col("n") > F.col("cval"))
