@@ -203,102 +203,98 @@ def _apply_count_tests(
     (expired iff t ≥ eepoch+expire), then sets/testers interleave by
     url with set-before-tester at equal url (counted iff eurl ≤ url).
     Sets with expire ≤ 0 can never be counted ((eepoch ≤ t) ∧
-    (t < eepoch) is empty) and are dropped from both streams.  The
-    DuckDB oracle keeps the join+filter formulation as an independent
-    cross-check."""
+    (t < eepoch) is empty) and are dropped from both streams.
+
+    Stage economy (the flagship's 2→8-core efficiency pays for every
+    extra stage): tester rows carry their full payload struct through
+    the sweep (same trick as the isset path), and a set row emits its
+    optional expiry row via one explode — so the whole operator is two
+    scans of the staged base, ONE window shuffle, and ONE aggregation
+    over tester rows (ALL-tests-pass via min over the payload group).
+    No join-backs.  The DuckDB oracle keeps the join+filter formulation
+    as an independent cross-check."""
     cdf = spark.createDataFrame(
         counts, schema="sid long, name string, track string, cmp string, cval int"
     )
-    testers = df.join(F.broadcast(cdf), "sid", "inner").select(
-        "url",
-        "sid",
+    payload_cols = df.columns
+    tester_rows = df.join(F.broadcast(cdf), "sid", "inner").select(
         F.col("name").alias("cname"),
         track_key_col("track").alias("ckey"),
-        "warc_epoch",
+        F.col("warc_epoch").alias("epoch"),
+        F.lit(1).alias("k0"),
+        F.col("url").alias("surl"),
+        F.lit(1).alias("k1"),
+        F.lit(0).alias("delta"),
         "cmp",
         "cval",
+        F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
     )
     sets = (
         bit_events(df, writes_df)
         .where(F.col("op") == "set")
         .where(F.col("name").isin([c[1] for c in counts]))
         .where(F.col("expire").isNull() | (F.col("expire") > 0))
-        .select(
+    )
+    # one scan → (+1 at the set position) and (-1 at its expiry) rows
+    ev_pair = F.array(
+        F.struct(
+            F.col("warc_epoch").cast("long").alias("epoch"),
+            F.lit(1).alias("k0"),
+            F.col("url").alias("surl"),
+            F.lit(0).alias("k1"),
+            F.lit(1).alias("delta"),
+        ),
+        F.when(
+            F.col("expire").isNotNull(),
+            F.struct(
+                (F.col("warc_epoch") + F.col("expire")).cast("long").alias("epoch"),
+                F.lit(0).alias("k0"),
+                F.lit("").alias("surl"),
+                F.lit(0).alias("k1"),
+                F.lit(-1).alias("delta"),
+            ),
+        ),
+    )
+    event_rows = (
+        sets.select(
             F.col("name").alias("cname"),
             F.col("key").alias("ckey"),
-            F.col("warc_epoch").alias("eepoch"),
-            F.col("url").alias("eurl"),
-            F.col("expire").alias("eexpire"),
+            F.explode(ev_pair).alias("e"),
+        )
+        .where(F.col("e").isNotNull())
+        .select(
+            "cname",
+            "ckey",
+            F.col("e.epoch").alias("epoch"),
+            F.col("e.k0").alias("k0"),
+            F.col("e.surl").alias("surl"),
+            F.col("e.k1").alias("k1"),
+            F.col("e.delta").alias("delta"),
+            F.lit(None).cast("string").alias("cmp"),
+            F.lit(None).cast("int").alias("cval"),
+            F.lit(None).cast(tester_rows.schema["payload"].dataType).alias("payload"),
         )
     )
-    nl = lambda t: F.lit(None).cast(t)  # noqa: E731
-    set_rows = sets.select(
-        "cname",
-        "ckey",
-        F.col("eepoch").alias("epoch"),
-        F.lit(1).alias("k0"),
-        F.col("eurl").alias("surl"),
-        F.lit(0).alias("k1"),
-        F.lit(1).alias("delta"),
-        nl("string").alias("url"),
-        nl("long").alias("sid"),
-        nl("long").alias("warc_epoch"),
-        nl("string").alias("cmp"),
-        nl("int").alias("cval"),
-    )
-    expiry_rows = sets.where(F.col("eexpire").isNotNull()).select(
-        "cname",
-        "ckey",
-        (F.col("eepoch") + F.col("eexpire")).alias("epoch"),
-        F.lit(0).alias("k0"),
-        F.lit("").alias("surl"),
-        F.lit(0).alias("k1"),
-        F.lit(-1).alias("delta"),
-        nl("string").alias("url"),
-        nl("long").alias("sid"),
-        nl("long").alias("warc_epoch"),
-        nl("string").alias("cmp"),
-        nl("int").alias("cval"),
-    )
-    tester_rows = testers.select(
-        "cname",
-        "ckey",
-        F.col("warc_epoch").alias("epoch"),
-        F.lit(1).alias("k0"),
-        F.col("url").alias("surl"),
-        F.lit(1).alias("k1"),
-        F.lit(0).alias("delta"),
-        "url",
-        "sid",
-        "warc_epoch",
-        "cmp",
-        "cval",
-    )
-    stream = set_rows.unionByName(expiry_rows).unionByName(tester_rows)
+    stream = event_rows.unionByName(tester_rows)
     w = (
         Window.partitionBy("cname", "ckey")
         .orderBy("epoch", "k0", "surl", "k1")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    per_test = (
-        stream.withColumn("n", F.sum("delta").over(w))
-        .where(F.col("k1") == 1)
-        .select("url", "sid", "cname", "cmp", "cval", "n")
-    )
+    n = F.sum("delta").over(w)
     ok = (
-        F.when(F.col("cmp") == "gt", F.col("n") > F.col("cval"))
-        .when(F.col("cmp") == "lt", F.col("n") < F.col("cval"))
-        .otherwise(F.col("n") == F.col("cval"))
+        F.when(F.col("cmp") == "gt", n > F.col("cval"))
+        .when(F.col("cmp") == "lt", n < F.col("cval"))
+        .otherwise(n == F.col("cval"))
     )
-    passed_ids = (
-        per_test.groupBy("url", "sid")
-        .agg(F.min(ok.cast("int")).alias("_ok"))
-        .where(F.col("_ok") == 1)
-        .select("url", "sid")
+    return (
+        stream.withColumn("_ok", ok)
+        .where(F.col("k1") == 1)
+        .groupBy("payload")
+        .agg(F.min(F.col("_ok").cast("int")).alias("_all_ok"))
+        .where(F.col("_all_ok") == 1)
+        .select("payload.*")
     )
-    return df.join(
-        F.broadcast(cdf.select("sid").distinct()), "sid", "left_semi"
-    ).join(passed_ids, ["url", "sid"], "left_semi")
 
 
 def bit_values_sql(rules: list[Rule]) -> tuple[str, str]:
