@@ -43,19 +43,30 @@ def plane_weight(p: int, d: int) -> int:
 
 
 def _dot_spark(a: str, b: str):
-    s = None
-    for d in range(1, DIM + 1):
-        term = F.element_at(a, d).cast("double") * F.element_at(b, d).cast("double")
-        s = term if s is None else s + term
-    return s
+    # one F.expr parse instead of ~380 py4j column-op round-trips — the
+    # SQL parser builds the identical left-associated sum (bit-equal
+    # doubles), and plan CONSTRUCTION drops from seconds to ~ms
+    return F.expr(
+        "("
+        + " + ".join(
+            f"CAST(element_at({a}, {d}) AS DOUBLE) * CAST(element_at({b}, {d}) AS DOUBLE)"
+            for d in range(1, DIM + 1)
+        )
+        + ")"
+    )
 
 
 def _norm_spark(a: str):
-    s = None
-    for d in range(1, DIM + 1):
-        term = F.element_at(a, d).cast("double") * F.element_at(a, d).cast("double")
-        s = term if s is None else s + term
-    return F.sqrt(s)
+    return F.sqrt(
+        F.expr(
+            "("
+            + " + ".join(
+                f"CAST(element_at({a}, {d}) AS DOUBLE) * CAST(element_at({a}, {d}) AS DOUBLE)"
+                for d in range(1, DIM + 1)
+            )
+            + ")"
+        )
+    )
 
 
 def dot_sql(a: str, b: str) -> str:
@@ -332,21 +343,21 @@ def ivf_cells(emb: DataFrame) -> DataFrame:
     cent_arr = cents.agg(F.array_sort(F.collect_list("c")).alias("cents"))
     withc = emb.crossJoin(F.broadcast(cent_arr))
     row_norm = _norm_spark("embedding")
-    init = F.struct(
-        F.lit(-2.0).alias("cos"), F.lit(2**62).cast("long").alias("cid")
+    # argmax(cos, tie→min cid) as transform + native array_max over
+    # struct<cos, -cid> (lexicographic) — the lambda runs ONCE per
+    # centroid; an aggregate()-fold variant evaluated the cosine twice
+    # per step (compare + carry) and doubled the interpreted-HOF cost
+    scored = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            _hof_cos(F.col("embedding"), c["cemb"], row_norm).alias("cos"),
+            (-c["cid"]).alias("ncid"),
+        ),
     )
-
-    def merge(acc, c):
-        cos = _hof_cos(F.col("embedding"), c["cemb"], row_norm)
-        better = (cos > acc["cos"]) | (
-            (cos == acc["cos"]) & (c["cid"] < acc["cid"])
-        )
-        return F.when(
-            better, F.struct(cos.alias("cos"), c["cid"].alias("cid"))
-        ).otherwise(acc)
-
-    best = F.aggregate(F.col("cents"), init, merge)
-    return withc.select("vec_id", "embedding", best["cid"].alias("cell"))
+    best = F.array_max(scored)
+    return withc.select(
+        "vec_id", "embedding", (-best["ncid"]).cast("long").alias("cell")
+    )
 
 
 def ivf_topk(
