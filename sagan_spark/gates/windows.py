@@ -56,17 +56,28 @@ def _stage_base() -> str:
         )
         base = os.environ.get("SPARK_GRAFT_STAGE_DIR", default_base)
         _STAGE_SESSION_DIR = os.path.join(base, f"run-{os.getpid()}-{uuid.uuid4().hex[:8]}")
-        atexit.register(cleanup_staged)
     return _STAGE_SESSION_DIR
 
 
 def cleanup_staged() -> None:
     """Delete every staged snapshot this process has written.  Safe to
-    call repeatedly; also registered atexit."""
+    call repeatedly; also registered atexit (once, at module import).
+
+    WARNING: staged snapshots back the DataFrames that stage_frame()
+    previously returned *lazily* — any outstanding frame from an earlier
+    stage_frame() call becomes invalid (actions on it raise
+    FileNotFound) after this runs.  Call it only between independent
+    jobs, when no staged frame is still live."""
     global _STAGE_SESSION_DIR
     if _STAGE_SESSION_DIR is not None:
         shutil.rmtree(_STAGE_SESSION_DIR, ignore_errors=True)
         _STAGE_SESSION_DIR = None
+
+
+# one registration for the whole process: cleanup_staged() reads the
+# CURRENT session dir at exit time, so re-registering per recreated base
+# (the pre-r4 behavior) only stacked redundant hooks
+atexit.register(cleanup_staged)
 
 
 def stage_frame(df: DataFrame, name: str = "stage") -> DataFrame:
@@ -141,16 +152,27 @@ def gates_cfg_df(spark: SparkSession, rules: list[Rule]) -> DataFrame:
     )
 
 
-def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> DataFrame:
-    """df = exploded+extracted hits.  Returns rows surviving after/
-    threshold gates.  One Window spec per distinct S, shared (sid, key)
-    partitioning.
+def split_window_gates(
+    df: DataFrame, cfg: DataFrame, rules: list[Rule], stage: bool = True
+) -> tuple[DataFrame | None, DataFrame, set[int]]:
+    """df = exploded+extracted hits.  Returns ``(win, rest, win_sids)``:
+    ``win`` = rows of window-gated rules surviving their after/threshold
+    gates (None when no rule carries a window gate), ``rest`` = rows of
+    ungated rules, passed through untouched.  One Window spec per
+    distinct S, shared (sid, key) partitioning.
+
+    The split form exists so the bit-test stage (gates/xbits.py
+    ``apply_gates``) can source each of its branches from the SAME
+    staged snapshot this function writes — collapsing the pre-r4
+    pregate+bitbase double staging into one barrier.  When ``stage``
+    and gated rules exist, the keyed stream is staged ONCE here and
+    both returned frames are scans over that snapshot; when no rule is
+    window-gated, ``rest`` is returned UNSTAGED (the caller owns the
+    barrier decision).
 
     Shuffle-volume discipline: windows partition by sid, so rows of
     ungated rules can never influence a gated rule's counts — they skip
-    the exchange entirely (measured ~22/25 of the alert stream).  The
-    split reads a persisted frame, so the upstream match plan runs
-    once.
+    the exchange entirely (measured ~22/25 of the alert stream).
 
     Exchange sharing: when no rule carries BOTH an after and a
     threshold gate with *different* track keys (the overwhelmingly
@@ -176,8 +198,9 @@ def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> Data
         )
     gated_sids = [r.sid for r in rules if r.after or r.threshold]
     if not gated_sids:
-        return df
-    df = stage_frame(df, "pregate")
+        return None, df, set()
+    if stage:
+        df = stage_frame(df, "pregate")
     rest = df.where(~F.col("sid").isin(gated_sids))
     df = df.where(F.col("sid").isin(gated_sids))
 
@@ -232,7 +255,14 @@ def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> Data
 
     # window functions can't live in a WHERE clause — project then filter
     gated = df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")
-    return gated.unionByName(rest)
+    return gated, rest, set(gated_sids)
+
+
+def apply_window_gates(df: DataFrame, cfg: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Union form of :func:`split_window_gates` (gated ∪ pass-through) —
+    the standalone window-gate operator."""
+    win, rest, _ = split_window_gates(df, cfg, rules)
+    return rest if win is None else win.unionByName(rest)
 
 
 def window_gates_sql(rules: list[Rule], rel: str = "enriched") -> str:

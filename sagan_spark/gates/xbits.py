@@ -24,6 +24,8 @@ bounded look-back tail — see runner/ checkpoint notes).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -65,11 +67,103 @@ def bit_events(df: DataFrame, writes_df: DataFrame) -> DataFrame:
     )
 
 
+def apply_gates(
+    df: DataFrame, cfg: DataFrame, rules: list[Rule], spark: SparkSession
+) -> DataFrame:
+    """Window gates + bit tests behind ONE staging barrier (the r4
+    collapse of the pre-r4 pregate+bitbase double staging).
+
+    ``split_window_gates`` stages the full keyed alert stream once and
+    hands back (window-gated rows, pass-through rows) as scans over
+    that snapshot.  Each bit branch (events / isset testers / count
+    testers / pass-through) then sources its sid subset directly from
+    the snapshot — the window computation re-runs only inside branches
+    whose sids are themselves window-gated.  When window-gated sids and
+    bit-op sids are disjoint (the common ruleset shape, and the
+    fixture's), the windows run exactly once (in the pass-through
+    branch) and NO second staging write happens; when they overlap, the
+    (small) window-gated subset is staged so each overlapping branch
+    reads a scan instead of re-sorting."""
+    from sagan_spark.gates.windows import split_window_gates, stage_frame
+
+    writes, tests = bit_ops_rows(rules)
+    counts = bit_count_rows(rules)
+    has_bits = bool(tests or counts)
+    win, rest, win_sids = split_window_gates(df, cfg, rules, stage=True)
+    if not has_bits:
+        return rest if win is None else win.unionByName(rest)
+    if win is None:
+        # no window gates → nothing staged the stream yet; the bit
+        # branches still need the barrier (each would otherwise
+        # recompute the whole upstream match plan)
+        rest = stage_frame(rest, "bitbase")
+    bit_sids = (
+        {w[0] for w in writes} | {t[0] for t in tests} | {c[0] for c in counts}
+    )
+    if win is not None and (win_sids & bit_sids):
+        # ≥2 branches would re-run the window sort — stage the (small)
+        # window-gated subset once instead
+        win = stage_frame(win, "wingate")
+
+    def source(sids, exclude: bool = False) -> DataFrame:
+        sids = list(sids)
+        if exclude:
+            parts = [
+                f.where(~F.col("sid").isin(sids))
+                for f in (win, rest)
+                if f is not None
+            ]
+        else:
+            parts = []
+            in_win = sorted(set(sids) & win_sids)
+            in_rest = sorted(set(sids) - win_sids)
+            if win is not None and in_win:
+                parts.append(win.where(F.col("sid").isin(in_win)))
+            if in_rest:
+                parts.append(rest.where(F.col("sid").isin(in_rest)))
+            if not parts:
+                parts = [rest.where(F.lit(False))]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    return _bit_tests_core(source, rules, spark)
+
+
 def apply_bit_tests(
     df: DataFrame, rules: list[Rule], spark: SparkSession, persist: bool = True
 ) -> DataFrame:
-    """Filter tester-rule rows by their isset/isnotset conditions;
-    non-tester rows pass through untouched.
+    """Standalone bit-test operator over an already-gated stream:
+    filter tester-rule rows by their isset/isnotset/count conditions;
+    non-tester rows pass through untouched.  (The flagship pipeline
+    uses :func:`apply_gates`, which shares the window stage's staging
+    barrier instead of writing its own.)
+
+    ``persist=True`` stages ``df`` once: it feeds several branches
+    (events, testers, pass-through), and without a barrier each branch
+    would recompute the entire upstream plan."""
+    writes, tests = bit_ops_rows(rules)
+    counts = bit_count_rows(rules)
+    if not tests and not counts:
+        return df
+    if persist:
+        from sagan_spark.gates.windows import stage_frame
+
+        df = stage_frame(df, "bitbase")
+
+    def source(sids, exclude: bool = False) -> DataFrame:
+        sids = list(sids)
+        cond = F.col("sid").isin(sids)
+        return df.where(~cond if exclude else cond)
+
+    return _bit_tests_core(source, rules, spark)
+
+
+def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame:
+    """Shared bit-test plan builder.  ``source(sids, exclude=False)``
+    returns the gated alert rows for a sid set (all frames it returns
+    must share one schema).
 
     Scale-critical formulation: a naive (events × testers) join on
     (name, key) is O(E·T) **per key** and melts down on hot Zipf
@@ -83,30 +177,18 @@ def apply_bit_tests(
     row_number formulation as an independent cross-check."""
     writes, tests = bit_ops_rows(rules)
     counts = bit_count_rows(rules)
-    if not tests and not counts:
-        return df
-    # df feeds three branches (events, testers, pass-through) — without
-    # materialization each branch would recompute the entire upstream
-    # match+window plan.  At cluster scale this is a staging write of
-    # the (small) gated alert stream; locally MEMORY_AND_DISK persist.
-    # The pipeline passes persist=False: its window stage already
-    # persists the pre-window base, and every branch's sid filter
-    # pushes through the Window operators (sid is a partition key of
-    # all of them) down to that persisted frame — a second
-    # materialization of the same ~10×-exploded stream buys nothing.
-    if persist:
-        from sagan_spark.gates.windows import stage_frame
-
-        df = stage_frame(df, "bitbase")
     writes_df = spark.createDataFrame(
         writes, schema="sid long, name string, track string, op string, expire int"
     )
+    writer_sids = {w[0] for w in writes}
     tester_sids = {t[0] for t in tests}
     count_sids = {c[0] for c in counts}
-    rest = df.where(~F.col("sid").isin(list(tester_sids | count_sids)))
+    rest = source(tester_sids | count_sids, exclude=True)
     if counts:
         rest = rest.unionByName(
-            _apply_count_tests(df, counts, writes_df, spark)
+            _apply_count_tests(
+                source(count_sids), source(writer_sids), counts, writes_df, spark
+            )
         )
     if not tests:
         return rest
@@ -114,8 +196,10 @@ def apply_bit_tests(
         tests, schema="sid long, name string, track string, test_op string"
     )
 
-    payload_cols = df.columns
-    events = bit_events(df, writes_df).select(
+    event_src = source(writer_sids)
+    tester_src = source(tester_sids)
+    payload_cols = tester_src.columns
+    events = bit_events(event_src, writes_df).select(
         F.col("name").alias("bname"),
         F.col("key").alias("bkey"),
         "warc_epoch",
@@ -131,7 +215,7 @@ def apply_bit_tests(
     )
 
     testers = (
-        df.where(F.col("sid").isin(list(tester_sids)))
+        tester_src
         .join(F.broadcast(tests_df), "sid", "inner")
         .select(
             F.col("name").alias("bname"),
@@ -177,7 +261,11 @@ def apply_bit_tests(
 
 
 def _apply_count_tests(
-    df: DataFrame, counts: list[tuple], writes_df: DataFrame, spark: SparkSession
+    tester_src: DataFrame,
+    event_src: DataFrame,
+    counts: list[tuple],
+    writes_df: DataFrame,
+    spark: SparkSession,
 ) -> DataFrame:
     """flexbits ``count`` testers ([U] src/flexbit.c counter form).
 
@@ -216,8 +304,8 @@ def _apply_count_tests(
     cdf = spark.createDataFrame(
         counts, schema="sid long, name string, track string, cmp string, cval int"
     )
-    payload_cols = df.columns
-    tester_rows = df.join(F.broadcast(cdf), "sid", "inner").select(
+    payload_cols = tester_src.columns
+    tester_rows = tester_src.join(F.broadcast(cdf), "sid", "inner").select(
         F.col("name").alias("cname"),
         track_key_col("track").alias("ckey"),
         F.col("warc_epoch").alias("epoch"),
@@ -230,7 +318,7 @@ def _apply_count_tests(
         F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
     )
     sets = (
-        bit_events(df, writes_df)
+        bit_events(event_src, writes_df)
         .where(F.col("op") == "set")
         .where(F.col("name").isin([c[1] for c in counts]))
         .where(F.col("expire").isNull() | (F.col("expire") > 0))
@@ -276,24 +364,121 @@ def _apply_count_tests(
         )
     )
     stream = event_rows.unionByName(tester_rows)
-    w = (
-        Window.partitionBy("cname", "ckey")
-        .orderBy("epoch", "k0", "surl", "k1")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    n = F.sum("delta").over(w)
+    mode = os.environ.get("SPARK_GRAFT_FLEXCOUNT_MODE", "auto")
+    if mode == "auto":
+        # hot-key trigger: one cheap stats job over the (payload-pruned)
+        # stream decides whether any single (name, key) group has
+        # outgrown one task's sort.  The columns scanned are tiny (the
+        # staged base is parquet, payload pruned away), and at 100× one
+        # Zipf-hot domain otherwise serializes the whole stage.
+        stats = (
+            event_rows.select("cname", "ckey", "epoch")
+            .unionByName(tester_rows.select("cname", "ckey", "epoch"))
+            .groupBy("cname", "ckey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.max("n").alias("max_group"),
+            )
+            .first()
+        )
+        max_group = stats["max_group"] or 0
+        mode = _pick_flexcount_plan(max_group)
+    global LAST_FLEXCOUNT_PLAN
+    LAST_FLEXCOUNT_PLAN = mode
+    if mode == "chunked":
+        withn = _chunked_running_sum(stream)
+    else:
+        w = (
+            Window.partitionBy("cname", "ckey")
+            .orderBy("epoch", "k0", "surl", "k1")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        withn = stream.withColumn("_n", F.sum("delta").over(w))
     ok = (
-        F.when(F.col("cmp") == "gt", n > F.col("cval"))
-        .when(F.col("cmp") == "lt", n < F.col("cval"))
-        .otherwise(n == F.col("cval"))
+        F.when(F.col("cmp") == "gt", F.col("_n") > F.col("cval"))
+        .when(F.col("cmp") == "lt", F.col("_n") < F.col("cval"))
+        .otherwise(F.col("_n") == F.col("cval"))
     )
     return (
-        stream.withColumn("_ok", ok)
+        withn.withColumn("_ok", ok)
         .where(F.col("k1") == 1)
         .groupBy("payload")
         .agg(F.min(F.col("_ok").cast("int")).alias("_all_ok"))
         .where(F.col("_all_ok") == 1)
         .select("payload.*")
+    )
+
+
+# last plan `_apply_count_tests` chose ("single" | "chunked") — observable
+# for the trigger tests and for bench forensics
+LAST_FLEXCOUNT_PLAN: str | None = None
+
+# A (name, key) group beyond this row count escalates to the epoch-
+# chunked two-phase prefix sum.  Default calibrated from the r3 A/B at
+# 320k pages (hot group ~6×10^5 rows: single-window 54 s vs chunked 82 s
+# at 8 cores — the extra shuffle + offset join only pays once a single
+# group outgrows one task's in-memory sort, roughly O(10^7) rows).
+FLEXCOUNT_CHUNK_THRESHOLD = 8_000_000
+FLEXCOUNT_TARGET_CHUNKS = 64
+
+
+def _pick_flexcount_plan(max_group: int) -> str:
+    """Escalation trigger: 'chunked' iff the hottest (name, key) group
+    exceeds the single-task sort threshold (env-overridable)."""
+    thr = int(
+        os.environ.get("SPARK_GRAFT_FLEXCOUNT_CHUNK_ROWS", FLEXCOUNT_CHUNK_THRESHOLD)
+    )
+    return "chunked" if max_group > thr else "single"
+
+
+def _chunked_running_sum(stream: DataFrame) -> DataFrame:
+    """Epoch-chunked two-phase prefix sum over the count stream — the
+    hot-key escalation ([U] no upstream analog; upstream's mmap counter
+    is inherently single-threaded per key).
+
+    A single (name, key) window group lands in ONE task; for a Zipf-hot
+    key at 100× that task serializes the stage.  Phase 1 splits each
+    group into epoch chunks (epoch is the leading sort key, so equal
+    epochs never straddle a chunk) and computes the running sum WITHIN
+    (name, key, chunk) — parallel across chunks of the same hot key.
+    Phase 2 turns per-chunk totals into per-chunk offsets with a window
+    over the (tiny) chunk-totals frame and broadcast-joins them back:
+    global running sum = local running sum + preceding-chunks offset.
+
+    Cost: one extra small shuffle (chunk totals) + a broadcast join —
+    the A/B'd overhead that makes this the escalation path, not the
+    default (see FLEXCOUNT_CHUNK_THRESHOLD)."""
+    bounds = stream.agg(
+        F.min("epoch").alias("emin"), F.max("epoch").alias("emax")
+    ).first()
+    emin, emax = bounds["emin"], bounds["emax"]
+    if emin is None:
+        return stream.withColumn("_n", F.col("delta").cast("long"))
+    width = max(1, (int(emax) - int(emin) + 1) // FLEXCOUNT_TARGET_CHUNKS)
+    chunked = stream.withColumn(
+        "_chunk", ((F.col("epoch") - F.lit(int(emin))) / F.lit(width)).cast("long")
+    )
+    w_local = (
+        Window.partitionBy("cname", "ckey", "_chunk")
+        .orderBy("epoch", "k0", "surl", "k1")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = chunked.withColumn("_ls", F.sum("delta").over(w_local))
+    totals = chunked.groupBy("cname", "ckey", "_chunk").agg(
+        F.sum("delta").alias("_tot")
+    )
+    w_off = (
+        Window.partitionBy("cname", "ckey")
+        .orderBy("_chunk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn("_off", F.sum("_tot").over(w_off)).select(
+        "cname", "ckey", "_chunk", "_off"
+    )
+    return (
+        chunked.join(F.broadcast(offsets), ["cname", "ckey", "_chunk"], "left")
+        .withColumn("_n", F.col("_ls") + F.coalesce(F.col("_off"), F.lit(0)))
+        .drop("_chunk", "_ls", "_off")
     )
 
 

@@ -23,7 +23,7 @@ from sagan_spark.enrich.enrich import (
     with_geo,
 )
 from sagan_spark.gates.windows import apply_window_gates, gates_cfg_df
-from sagan_spark.gates.xbits import apply_bit_tests
+from sagan_spark.gates.xbits import apply_gates
 from sagan_spark.parse.extract import (
     apply_rule_extraction,
     rule_config_df,
@@ -130,17 +130,20 @@ class Pipeline:
         return apply_window_gates(pruned, self.gcfg, self.rules)
 
     def gated(self, pages: DataFrame) -> DataFrame:
-        # persist=True stages the window-gated stream once (parquet
-        # snapshot): the bit-test's three branches (events/testers/
-        # pass-through) then read cheap scans instead of re-running the
-        # window computation per branch.  (The old persist=False trade
-        # targeted the r1 in-memory cache, where a second cache of the
-        # exploded stream cost more than the pushed-filter recompute;
-        # with staged-parquet barriers the recompute is the expensive
-        # side — measured 3× window re-evaluation, ~10s at 320k pages.)
-        return apply_bit_tests(
-            self.window_gated(pages), self.rules, self.spark, persist=True
-        )
+        # ONE staging barrier for the whole gate family (r4): the keyed
+        # alert stream is staged once inside split_window_gates, and
+        # every bit branch sources its sid subset straight from that
+        # snapshot.  (r1-r3 history: an in-memory persist barrier lost
+        # to cache-lock races; the r3 fix staged TWICE — pregate AND the
+        # window-gated stream before the bit join-back — writing the
+        # full alert stream to tmpfs two times per run.  Window-gated
+        # sids and bit sids are disjoint in typical rulesets, so the
+        # second write bought nothing: apply_gates now recomputes the
+        # window sort only in branches that actually contain window-
+        # gated sids, and stages the small gated subset iff the sid
+        # sets overlap.)
+        pruned = self.enriched(pages).select(*self.GATE_COLS)
+        return apply_gates(pruned, self.gcfg, self.rules, self.spark)
 
     def routed(self, pages: DataFrame) -> DataFrame:
         """Alert stream with routing metadata (K7): every gated alert
@@ -185,10 +188,14 @@ class Pipeline:
         row counts.
 
         Single-pass: ONE ``partitionBy(sink, signature_id)`` write
-        gives the identical per-sink/per-signature directory layout
-        (``out_dir/sink=<s>/signature_id=<n>/``) that the old
-        three-filtered-writes loop produced with three scans of the
-        routed frame — at 100× the data the re-scans are the cost."""
+        replaces the old per-sink filtered-writes loop (which scanned
+        the routed frame once per sink — at 100× the data the re-scans
+        are the cost).  NOTE this was a LAYOUT MIGRATION, not a
+        byte-identical swap: the loop wrote ``out_dir/<sink>/...`` with
+        ``sink`` as a data column; the partitioned write produces Hive
+        -style ``out_dir/sink=<s>/signature_id=<n>/`` and both ``sink``
+        and ``signature_id`` live only in the partition directories,
+        not in the data files (tests/README reflect the new layout)."""
         routed = self.routed(pages).persist()
         try:
             counts = {

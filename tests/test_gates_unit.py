@@ -105,3 +105,42 @@ def test_xbit_key_isolation(spark):
     rows = _rows(10, [0], domain="a") + _rows(12, [10], domain="b")
     out = apply_bit_tests(_frame(spark, rows), rules, spark)
     assert _kept_epochs(out, 12) == []  # different key, bit not set
+
+
+COUNT_RULE = Rule(
+    sid=14, xbits=(XbitOp(op="count", name="bit", track="by_domain", cmp="gt", value=1),)
+)
+# set at 0/10/20 (expire 100) → unexpired count at t: 1@[0,10), 2@[10,20),
+# 3@[20,100), 2@[100,110) (first set expires), 1@[110,120), 0 from 120
+COUNT_ROWS = _rows(10, [0, 10, 20]) + _rows(14, [5, 15, 105, 115, 130])
+
+
+def _count_kept(spark, monkeypatch, mode, threshold=None):
+    monkeypatch.setenv("SPARK_GRAFT_FLEXCOUNT_MODE", mode)
+    if threshold is not None:
+        monkeypatch.setenv("SPARK_GRAFT_FLEXCOUNT_CHUNK_ROWS", str(threshold))
+    out = apply_bit_tests(_frame(spark, COUNT_ROWS), [SET_RULE, COUNT_RULE], spark)
+    return _kept_epochs(out, 14)
+
+
+def test_flexbits_count_single_vs_chunked_agree(spark, monkeypatch):
+    """The epoch-chunked two-phase prefix sum is semantics-identical to
+    the single-window running sum (the hot-key escalation path)."""
+    expected = [15, 105]  # count>1 at those tester times
+    assert _count_kept(spark, monkeypatch, "single") == expected
+    assert _count_kept(spark, monkeypatch, "chunked") == expected
+
+
+def test_flexbits_count_trigger_flips_on_hot_key(spark, monkeypatch):
+    """auto mode picks 'single' for small groups and escalates to
+    'chunked' once the hottest (name, key) group crosses the
+    configured row threshold."""
+    from sagan_spark.gates import xbits
+
+    expected = [15, 105]
+    assert _count_kept(spark, monkeypatch, "auto") == expected
+    assert xbits.LAST_FLEXCOUNT_PLAN == "single"
+    # synthetic hot key: drop the threshold below this group's size
+    assert _count_kept(spark, monkeypatch, "auto", threshold=3) == expected
+    assert xbits.LAST_FLEXCOUNT_PLAN == "chunked"
+    assert xbits._pick_flexcount_plan(10**9) == "chunked"
