@@ -205,8 +205,11 @@ def rule_regexes(rule: Rule) -> list[_RegexReq]:
 
 
 def regex_sql(rule: Rule, dialect: str = DUCKDB, text: str = "text") -> str:
-    """Oracle-side regex conditions (DuckDB RE2; fixture regexes stay in
-    the RE2 ∩ Python-re common subset — SURVEY.md §7 risk list)."""
+    """Oracle-side regex conditions (DuckDB RE2).  The RE2 ∩ Python-re
+    common subset is ENFORCED at parse time (r4:
+    rules/parser.py check_regex_portable rejects lookaround, possessive
+    quantifiers, \\K, backrefs, recursion, conditionals loudly), so any
+    pattern reaching here evaluates identically in both engines."""
     conds = []
     js = json_blob(text, dialect)
     mt = match_text_sql(rule, dialect, text)

@@ -80,6 +80,56 @@ def _parse_pcre(v: str) -> tuple[str, str, bool]:
     return m.group("pat"), m.group("flags"), neg
 
 
+# --- regex portability enforcement (r4; VERDICT r3 item 5) ------------------
+# The engine evaluates patterns with Python `re` (Arrow UDF batches) while
+# the DuckDB oracle uses RE2 and upstream uses PCRE ([U] rules.c
+# pcre_compile fails fast on bad patterns).  A pattern outside the
+# RE2 ∩ PCRE ∩ Python-`re` common subset would SILENTLY diverge between
+# engine and oracle/upstream, so the parser rejects those constructs
+# loudly at load time instead of relying on ruleset discipline.
+# Detectors are conservative (`(?<!\\)` guards the escaped-literal case).
+_NON_PORTABLE: list[tuple[re.Pattern, str, str]] = [
+    (re.compile(r"(?<!\\)\(\?<[=!]"), "lookbehind (?<=/(?<!",
+     "unsupported by RE2 — restructure the match"),
+    (re.compile(r"(?<!\\)\(\?[=!]"), "lookahead (?=/(?!",
+     "unsupported by RE2 — restructure the match"),
+    (re.compile(r"(?<!\\)\(\?>"), "atomic group (?>",
+     "PCRE-only — use a plain group"),
+    (re.compile(r"(?<!\\)[*+?}]\+"), "possessive quantifier",
+     "PCRE-only — use a greedy quantifier"),
+    (re.compile(r"(?<!\\)\\K"), r"\K reset",
+     "PCRE-only — use a capture group"),
+    (re.compile(r"(?<!\\)\(\?(?:R\)|[0-9]+\)|&|P>)"), "recursion/subroutine call",
+     "PCRE-only — inline the subpattern"),
+    (re.compile(r"(?<!\\)\(\?\("), "conditional (?(",
+     "PCRE-only — split into separate rules"),
+    (re.compile(r"(?<!\\)\\[1-9]"), "backreference",
+     "unsupported by RE2 — repeat the subpattern"),
+    (re.compile(r"(?<!\\)\(\?P=|(?<!\\)\\[gk]<"), "named backreference",
+     "unsupported by RE2 — repeat the subpattern"),
+    (re.compile(r"(?<!\\)\\[Zz]"), r"\Z/\z anchor",
+     "spelled differently in RE2 vs Python re — use $"),
+]
+
+
+def check_regex_portable(pattern: str, sid: int | None, where: str) -> None:
+    """Raise ValueError (naming the offending rule sid) if `pattern`
+    uses a construct outside the RE2 ∩ PCRE ∩ Python-`re` subset, or
+    does not compile under Python `re` at all."""
+    tag = f"rule sid {sid}" if sid is not None else "rule"
+    for det, label, hint in _NON_PORTABLE:
+        if det.search(pattern):
+            raise ValueError(
+                f"{tag}: non-portable regex construct [{label}] in {where} "
+                f"pattern {pattern!r} — {hint} (engine=Python re, "
+                f"oracle=RE2, upstream=PCRE must all agree)"
+            )
+    try:
+        re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"{tag}: invalid {where} pattern {pattern!r}: {e}") from e
+
+
 def _parse_kv_list(v: str) -> dict[str, str]:
     """Parse ``track by_src, count 3, seconds 3600`` style lists."""
     out: dict[str, str] = {}
@@ -310,6 +360,12 @@ def parse_rule(line: str, variables: dict[str, str] | None = None) -> Rule:
     r.xbits = tuple(xbits)
     if not r.sid:
         raise ValueError("rule missing sid")
+    # portability gate runs AFTER sid assignment so the error names the
+    # offending rule ([U] rules.c pcre_compile fails fast the same way)
+    for p in r.pcres:
+        check_regex_portable(p.pattern, r.sid, "pcre")
+    for jp in r.json_pcres:
+        check_regex_portable(jp.pattern, r.sid, "json_pcre")
     return r
 
 

@@ -136,3 +136,58 @@ def test_match_parity_spark_vs_duckdb(spark, duck):
     all_sids = {r.sid for r in fixture_rules()}
     assert fired == all_sids, f"dead rules: {sorted(all_sids - fired)}"
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+# --- regex portability gate (r4; VERDICT r3 item 5) -------------------------
+
+def _pcre_rule(pat: str):
+    return parse_rule(
+        f'alert syslog any any -> any any (msg:"m"; pcre:"/{pat}/"; sid:77;)'
+    )
+
+
+def test_portable_patterns_accepted():
+    for pat in [
+        r"src=10\.\d{1,3}",
+        r"PROTO (tcp|udp)",
+        r"^[1-4]00$",
+        r"a+b*c?",
+        r"[A-Za-z_]{3,}",
+        r"foo\(bar\)",       # escaped parens, not a group construct
+    ]:
+        assert _pcre_rule(pat).pcres[0].pattern == pat
+    # escaped backslash then digit is NOT a backref (rule-file escaping:
+    # \\\\ unquotes to one literal backslash in the pattern)
+    assert _pcre_rule(r"lit\\\\1eral").pcres[0].pattern == r"lit\\1eral"
+
+
+def test_non_portable_patterns_rejected():
+    import pytest
+
+    for pat, label in [
+        (r"(?<=foo)bar", "lookbehind"),
+        (r"(?<!foo)bar", "lookbehind"),
+        (r"foo(?=bar)", "lookahead"),
+        (r"foo(?!bar)", "lookahead"),
+        (r"(?>atomic)", "atomic"),
+        (r"a++", "possessive"),
+        (r"a{2,3}+", "possessive"),
+        (r"foo\Kbar", r"\\K"),
+        (r"(?R)", "recursion"),
+        (r"(a)\1", "backreference"),
+        (r"(?P<n>a)(?P=n)", "backreference"),
+        (r"end\Z", "anchor"),
+    ]:
+        with pytest.raises(ValueError, match="sid 77") as ei:
+            _pcre_rule(pat)
+        assert "non-portable" in str(ei.value), (pat, label, str(ei.value))
+
+
+def test_json_pcre_also_gated():
+    import pytest
+
+    with pytest.raises(ValueError, match="sid 78"):
+        parse_rule(
+            'alert syslog any any -> any any (msg:"m"; '
+            'json_pcre:".code","/(?=x)/"; sid:78;)'
+        )
