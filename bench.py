@@ -9,24 +9,34 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
   * headline datapipe queries (MinHash-LSH dedup, bucketed ANN,
     fingerprints, multimodal metadata) at local[4N].
 
-Methodology (r3, hardened after the r2 artifact recorded 0.613 while
-builder-side runs of the identical protocol measured 0.855/0.891 —
-i.e. run-to-run variance the protocol didn't absorb):
+Methodology (r4; history: r3 hardened the r2 protocol with subprocess
+isolation, equal reps, first-rep discard, round-median statistics and
+PAIRED rounds — see BASELINE.md — but still reported the BEST paired
+round and retried only on a miss, a max-order statistic with an
+asymmetric stopping rule, both biased and both flagged by the r3
+review):
   * each flagship cell runs in its OWN subprocess — JVM options (GC,
     heap) genuinely apply per cell and no JIT/GC/codegen state leaks
     between core counts;
-  * EQUAL reps per cell (r2 gave the 2-core cell fewer reps than the
-    8-core cell, and best-of-N across unequal N biases the ratio);
-  * the FIRST rep of every cell is discarded (C2 JIT + codegen
-    warmup), the MEDIAN of the rest is the cell statistic (best-of
-    makes the efficiency a ratio of two extremes on a noisy VM);
+  * EQUAL reps per cell; the FIRST rep of every cell is discarded
+    (C2 JIT + codegen warmup), the MEDIAN of the rest is the cell
+    statistic;
   * cells are pinned to the HIGHEST cpu ids (cpu 0 takes IRQs and
     host daemons — a 2-core cell sharing it is pure noise);
-  * self-check: if efficiency lands under the ≥0.8 north-rule target,
-    up to two more measurement rounds run and their post-warmup walls
-    pool into the medians — a loud "scaling_warning" field ships if it
-    STILL misses, instead of silently recording a noise artifact.
-All raw walls are reported in the JSON for auditability.
+  * a round = a 2-core and an 8-core cell back-to-back (they share
+    the host's ~10-min interference drift epoch, so the per-round
+    ratio cancels it);
+  * hypervisor steal (/proc/stat) is measured around each cell; a round
+    is STEAL-CLEAN iff both cells saw steal < 0.3% — a selection
+    criterion fixed BEFORE seeing the efficiency, so conditioning on
+    it does not bias the outcome variable;
+  * rounds run until ≥2 steal-clean rounds are captured (min 2, max 5
+    rounds, ~35-min budget) — the stopping rule looks only at
+    cleanliness, never at the efficiency value;
+  * the HEADLINE efficiency is the MEDIAN over steal-clean rounds
+    (over all rounds if none were clean, with a loud warning
+    attributing the conditions); best round, pooled stat and every
+    raw wall ship alongside for audit.
 Input is sized via SPARK_GRAFT_REP (default 64 → 320k pages at sf0.1)
 so the local[4N] wall is ≳30s and fixed costs amortize.
 Fairness: identical input/ruleset/code, shuffle partitions
@@ -140,31 +150,34 @@ def main() -> None:
 
     queries: dict[str, float] = {}
 
-    # PAIRED measurement rounds.  One round = a 2-core cell and an
-    # 8-core cell run back-to-back (equal reps, first rep discarded,
-    # round-median statistic).  The round is the pairing unit because
-    # this VM's interference drifts on a ~10-min timescale: an r3 run
-    # showed the 8-core cell bimodal ACROSS rounds (31.6/32.1 s in one
-    # round vs 45-57 s in others) while the 2-core cell stayed within
-    # ±12% — pooling walls across drift epochs compares a quiet 2-core
-    # epoch against a noisy 8-core epoch and reports the host, not the
-    # engine.  Per-round pairing cancels the drift (both cells share
-    # the epoch); the reported efficiency is the BEST paired round —
-    # the engine under least interference — with every round's raw
-    # walls and per-round efficiencies shipped alongside for audit,
-    # plus the all-rounds-pooled number.
+    # PAIRED measurement rounds (see module docstring).  One round = a
+    # 2-core cell and an 8-core cell back-to-back — they share the
+    # host's ~10-min interference drift epoch, so the per-round ratio
+    # cancels drift (r3 observed the 8-core cell bimodal ACROSS rounds,
+    # 31.6 s vs 45-57 s, while the 2-core cell stayed within ±12%).
+    # Selection: a round is STEAL-CLEAN iff hypervisor steal stayed
+    # under CLEAN_STEAL% during both its cells — a criterion fixed
+    # before the efficiency is computed.  Rounds run until ≥2 clean
+    # rounds or the round/time budget is spent; the stopping rule never
+    # reads the efficiency (r3's retry-on-miss was asymmetric and its
+    # best-round headline a max statistic — both upward-biased).
+    CLEAN_STEAL = 0.3
+    MAX_ROUNDS, MIN_ROUNDS, WANT_CLEAN = 5, 2, 2
+    TIME_BUDGET = 35 * 60.0
     walls_small: list[float] = []
     walls_big: list[float] = []
     round_effs: list[float] = []
-    best: tuple[float, float, float] | None = None  # (eff, t_small, t_big)
+    round_cells: list[tuple[float, float]] = []
     n_pages = 0
     scaling_warning = None
     round_steal: list[list[float]] = []
-    for rnd in range(3):
+    t_start = time.time()
+    for rnd in range(MAX_ROUNDS):
+        reps = 4 if rnd == 0 else 3  # round 0 also carries the JIT warmup
         s0, j0 = _steal_jiffies()
-        ws, n_pages = flagship_cell(n_small, sf_dir, rep, reps=4)
+        ws, n_pages = flagship_cell(n_small, sf_dir, rep, reps=reps)
         s1, j1 = _steal_jiffies()
-        wb, _ = flagship_cell(n_big, sf_dir, rep, reps=4)
+        wb, _ = flagship_cell(n_big, sf_dir, rep, reps=reps)
         s2, j2 = _steal_jiffies()
         round_steal.append(
             [
@@ -175,33 +188,50 @@ def main() -> None:
         walls_small += ws
         walls_big += wb
         ts, tb = _median(ws), _median(wb)
+        round_cells.append((ts, tb))
         eff_r = round(ts / (4.0 * tb), 3)
         round_effs.append(eff_r)
-        if best is None or eff_r > best[0]:
-            best = (eff_r, ts, tb)
-        if eff_r >= 0.8:
-            break
+        clean_rounds = [i for i, s in enumerate(round_steal) if max(s) < CLEAN_STEAL]
         print(
-            f"# scaling self-check: paired-round efficiency {eff_r} < 0.8"
-            + (f", measurement round {rnd + 2}" if rnd < 2 else ""),
+            f"# scaling round {rnd}: eff={eff_r} steal%={round_steal[-1]} "
+            f"clean_rounds={clean_rounds}",
             file=sys.stderr,
         )
-    eff, t_small, t_big = best
+        if (
+            rnd + 1 >= MIN_ROUNDS
+            and len(clean_rounds) >= WANT_CLEAN
+        ):
+            break
+        if time.time() - t_start > TIME_BUDGET and rnd + 1 >= MIN_ROUNDS:
+            print("# scaling: time budget spent", file=sys.stderr)
+            break
+    clean_rounds = [i for i, s in enumerate(round_steal) if max(s) < CLEAN_STEAL]
+    pick = clean_rounds if clean_rounds else list(range(len(round_effs)))
+    eff = _median([round_effs[i] for i in pick])
+    # headline cell walls: the picked round whose efficiency is the
+    # (lower) median — deterministic representative, not an extreme
+    med_round = min(
+        pick, key=lambda i: (abs(round_effs[i] - eff), round_effs[i])
+    )
+    t_small, t_big = round_cells[med_round]
+    eff_best = max(round_effs)
     eff_pooled = round(_median(walls_small) / (4.0 * _median(walls_big)), 3)
-    if eff < 0.8:
-        tainted = any(max(s) >= 0.5 for s in round_steal)
+    if not clean_rounds:
         scaling_warning = (
-            f"best paired-round efficiency {eff} below the 0.8 target "
-            f"after {len(round_effs)} rounds ({round_effs}); "
-            f"per-cell hypervisor steal% {round_steal} — "
-            + (
-                "measurable steal taints these cells (other tenants on the "
-                "physical host); the engine-attributable number is the best "
-                "round, see BASELINE.md"
-                if tainted
-                else "steal clean; investigate the engine"
-            )
+            f"no steal-clean round captured in {len(round_effs)} rounds "
+            f"(per-cell steal% {round_steal}) — headline {eff} is the "
+            "median over steal-tainted rounds (other tenants on the "
+            "physical host); engine-attributable numbers need a quiet "
+            "host, see BASELINE.md"
         )
+    elif eff < 0.8:
+        scaling_warning = (
+            f"median steal-clean efficiency {eff} below the 0.8 target "
+            f"(clean rounds {[round_effs[i] for i in clean_rounds]}, "
+            f"steal% {round_steal}) — steal was clean, so this miss is "
+            "engine- or substrate-attributable; see BASELINE.md"
+        )
+    if scaling_warning:
         print(f"# SCALING WARNING: {scaling_warning}", file=sys.stderr)
 
     walls_full, _ = flagship_cell(cpus, sf_dir, rep, reps=3)
@@ -274,10 +304,12 @@ def main() -> None:
                     "throughput_n": round(thr_small, 1),
                     "throughput_4n": round(thr_big, 1),
                     "efficiency": eff,
+                    "efficiency_best_round": eff_best,
                     "efficiency_pooled": eff_pooled,
                     "round_efficiencies": round_effs,
                     "round_steal_pct": round_steal,
-                    "protocol": "best PAIRED round (back-to-back cells share the interference epoch; round-median of post-warmup walls, equal reps, subprocess+taskset isolated on high cpu ids); all rounds' raw walls + pooled stat shipped for audit",
+                    "steal_clean_rounds": clean_rounds,
+                    "protocol": "median over STEAL-CLEAN paired rounds (clean = both cells <0.3% hypervisor steal, a criterion independent of the outcome; rounds run until >=2 clean, never conditioned on the efficiency value; back-to-back cells share the interference epoch; round-median of post-warmup walls, equal reps, subprocess+taskset isolated on high cpu ids); best round + pooled stat + all raw walls shipped for audit",
                     "walls_n": walls_small,
                     "walls_4n": walls_big,
                     "warning": scaling_warning,
