@@ -285,10 +285,12 @@ def dedup_clusters(corpus: DataFrame, pairs: DataFrame, max_iter: int = 25) -> D
         # one job: triggers the (lazy) checkpoint materialization AND
         # reads the convergence flag off the same pass
         changed = new_labels.where(F.col("_chg")).limit(1).count()
-        # the previous round's checkpoint blocks are unreachable once
-        # this round materialized — free them (bounded memory over
-        # arbitrarily many rounds)
-        labels.unpersist()
+        # the previous round's checkpoint blocks become unreachable when
+        # `labels` is rebound below; localCheckpoint blocks live at the
+        # RDD level (NOT in the cache manager — DataFrame.unpersist()
+        # would be a no-op on them), so release is by ContextCleaner GC
+        # of the dropped reference.  Bounded in practice: rounds ≈
+        # component diameter, and each round holds ≤2 label snapshots.
         labels = new_labels.drop("_chg")
         if changed == 0:
             break

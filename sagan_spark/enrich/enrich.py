@@ -160,8 +160,15 @@ def ipv6_hex_col(ip_col: str) -> Column:
         F.concat(lparts, mid, rparts),
     ).otherwise(F.split(ip, ":"))
     hexs = F.array_join(F.transform(groups, lambda g: F.lpad(g, 4, "0")), "")
+    # >1 '::' is malformed (RFC 4291 allows at most one elision) — and
+    # the engine/oracle twins would otherwise disagree on which side of
+    # the extra '::' to keep, so both reject it identically (r4 fix)
+    one_elision = F.size(F.split(ip, "::")) <= 2
     return F.when(
-        ip.contains(":") & (F.size(groups) == 8) & hexs.rlike("^[0-9a-f]{32}$"),
+        ip.contains(":")
+        & one_elision
+        & (F.size(groups) == 8)
+        & hexs.rlike("^[0-9a-f]{32}$"),
         hexs,
     )
 
@@ -184,7 +191,9 @@ def ipv6_hex_sql(ip: str) -> str:
     )
     hexs = f"list_aggregate(list_transform({groups}, g -> lpad(g, 4, '0')), 'string_agg', '')"
     return (
-        f"(CASE WHEN contains({low}, ':') AND len({groups}) = 8 "
+        f"(CASE WHEN contains({low}, ':') "
+        f"AND len(string_split({low}, '::')) <= 2 "
+        f"AND len({groups}) = 8 "
         f"AND regexp_matches({hexs}, '^[0-9a-f]{{32}}$') THEN {hexs} END)"
     )
 

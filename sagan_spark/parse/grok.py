@@ -7,10 +7,11 @@ same ``%field:type%`` template syntax into a single anchored regex with
 one capture group per field, applied with builtin ``regexp_extract``
 (JVM-side, whole-stage codegen; no UDF).  The north-rule invariant —
 **byte-identical extracted text per url** — is pinned by
-``tests/test_extract.py`` comparing the extracted message against the
-source document text, and by the DuckDB oracle running the identical
-pattern (RE2 ∩ Java-regex common subset: lazy quantifiers, character
-classes, no lookaround).
+``tests/test_pages_parity.py`` (pages scan vs oracle CTE) and the
+``normalize_grok`` correctness query comparing the extracted message
+against the source document text via the DuckDB oracle running the
+identical pattern (RE2 ∩ Java-regex common subset: lazy quantifiers,
+character classes, no lookaround).
 """
 
 from __future__ import annotations

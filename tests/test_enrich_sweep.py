@@ -77,3 +77,36 @@ def test_sweep_100k_ranges_fast():
     # bucket expansion stays broadcast-sized (≤ 65536 + n rows)
     buckets = bucketed_geo_rows(rows)
     assert len(buckets) <= 65536 + len(flat)
+
+
+def test_ipv6_hex_twins_agree_on_malformed(spark):
+    """Engine and oracle must map the same inputs to the same hex or
+    the same NULL — including multi-'::' malformed addresses, where the
+    pre-r4 twins disagreed (Spark kept left-of-first/right-of-LAST
+    '::', DuckDB the element after the FIRST '::')."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from sagan_spark.enrich.enrich import ipv6_hex_col, ipv6_hex_sql
+
+    cases = [
+        "2001:db8::1",
+        "2001:db8:0:0:1:2:3:4",
+        "::1",
+        "1::2::3",          # multi-elision → NULL in BOTH twins
+        "::2::",            # multi-elision → NULL
+        "1:2:3:4:5:6:7:8:9",  # too many groups → NULL
+        "10.0.0.1",         # v4 → NULL
+        "nonsense",
+    ]
+    sdf = spark.createDataFrame([(c,) for c in cases], "ip string")
+    got = {
+        r["ip"]: r["h"]
+        for r in sdf.withColumn("h", ipv6_hex_col("ip")).collect()
+    }
+    con = duckdb.connect()
+    for c in cases:
+        exp = con.execute(f"SELECT {ipv6_hex_sql(repr(c))}").fetchone()[0]
+        assert got[c] == exp, (c, got[c], exp)
+    assert got["2001:db8::1"] is not None
+    assert got["1::2::3"] is None and got["::2::"] is None
