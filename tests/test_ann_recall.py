@@ -51,3 +51,10 @@ def test_ivf_partition_and_recall(spark):
     ivf = _pairs(ivf_topk(emb))
     r_ivf = len(brute & ivf) / len(brute)
     assert r_ivf >= 0.2, f"ivf recall@5 = {r_ivf:.2f}"
+    # k-means training must not lose recall vs the untrained stride
+    # sample it initializes from (VERDICT r3 item 6 done-criterion)
+    stride = _pairs(ivf_topk(emb, train_iters=0))
+    r_stride = len(brute & stride) / len(brute)
+    assert r_ivf >= r_stride, (
+        f"trained recall {r_ivf:.2f} < stride baseline {r_stride:.2f}"
+    )
