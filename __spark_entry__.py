@@ -56,7 +56,7 @@ def _q_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pipeline(spark).extracted(_pages(spark, sf_dir)).select(
-        "url", "sid", "src_ip", "dst_ip", "port", "proto", "hash"
+        "url", "sid", "src_ip", "dst_ip", "port", "dst_port", "proto", "hash"
     )
 
 
@@ -296,7 +296,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT url, sid FROM matched", rep=QUERY_REP
         ),
         "extract_fields": oracle_query(
-            "SELECT url, sid, src_ip, dst_ip, port, proto, hash FROM extracted",
+            "SELECT url, sid, src_ip, dst_ip, port, dst_port, proto, hash FROM extracted",
             rep=QUERY_REP,
         ),
         "enrich_geo": oracle_query(

@@ -511,8 +511,8 @@ def bit_tests_sql(rules: list[Rule], rel: str = "wgated") -> str:
     ekey = track_key_sql("bw.track", prefix="g.")
     tkey = track_key_sql("bt.track", prefix="t.")
     cols = (
-        "url, domain, warc_epoch, text, lang, source, sid, ips, port_x, proto_x, "
-        "md5_x, sha1_x, sha256_x, src_ip, dst_ip, port, proto, hash, classtype, "
+        "url, domain, warc_epoch, text, lang, source, sid, ips, port_x, port2_x, proto_x, "
+        "md5_x, sha1_x, sha256_x, src_ip, dst_ip, port, dst_port, proto, hash, classtype, "
         "country_track, country_is, country_isnot, sink, rev, after_track, "
         "after_count, after_seconds, th_type, th_track, th_count, th_seconds, "
         "src_cc, dst_cc, priority, description"

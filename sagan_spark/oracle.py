@@ -74,7 +74,7 @@ bgated AS (
 ),
 routed AS (
   SELECT sink, bgated.sid AS signature_id, url, domain, warc_epoch, src_ip, dst_ip,
-         port, proto, hash, src_cc, dst_cc, classtype, priority, rev, {refs_col}
+         port, dst_port, proto, hash, src_cc, dst_cc, classtype, priority, rev, {refs_col}
   FROM bgated {refs_join}
 )
 """.strip()

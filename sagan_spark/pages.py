@@ -88,6 +88,13 @@ def load_pages(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
     port = F.when(
         doc_id % 3 == 0, F.concat(F.lit(" port "), _s(doc_id % 5000 + 1024))
     ).otherwise(F.lit(""))
+    # a second `port NNNN` occurrence on a subset of port-bearing rows:
+    # drives the dual-port (sport/dport) extraction path (X2 → K4
+    # unified2 dport_icode; [U] src/parsers/port.c scans ALL ports)
+    port2 = F.when(
+        (doc_id % 3 == 0) & (rep_c % 2 == 1),
+        F.concat(F.lit(" port "), _s((doc_id * 13) % 5000 + 1024)),
+    ).otherwise(F.lit(""))
     proto = (
         F.when(doc_id % 4 == 0, F.lit(" proto tcp"))
         .when(doc_id % 4 == 1, F.lit(" proto udp"))
@@ -121,7 +128,7 @@ def load_pages(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
         ),
     ).otherwise(F.lit(""))
 
-    text = F.concat(F.col("text"), srcs, dsts, port, proto, hsh, js, v6)
+    text = F.concat(F.col("text"), srcs, dsts, port, port2, proto, hsh, js, v6)
 
     return df.select(
         url.alias("url"),
@@ -152,6 +159,7 @@ SELECT
     || ' src=10.' || (d.doc_id % 250) || '.' || ((r.rep * 11) % 250) || '.' || ((d.doc_id * 7) % 250)
     || ' dst=192.168.' || (d.doc_id % 100) || '.' || (r.rep % 50)
     || CASE WHEN d.doc_id % 3 = 0 THEN ' port ' || (d.doc_id % 5000 + 1024) ELSE '' END
+    || CASE WHEN d.doc_id % 3 = 0 AND r.rep % 2 = 1 THEN ' port ' || ((d.doc_id * 13) % 5000 + 1024) ELSE '' END
     || CASE d.doc_id % 4 WHEN 0 THEN ' proto tcp' WHEN 1 THEN ' proto udp' WHEN 2 THEN ' proto icmp' ELSE '' END
     || CASE WHEN d.doc_id % 5 = 0 THEN ' hash=' || md5(CAST(d.doc_id AS VARCHAR)) ELSE '' END
     || CASE WHEN d.doc_id % 2 = 0 THEN ' {{"svc": "s' || (d.doc_id % 7) || '", "code": ' || ((d.doc_id % 9) * 100) || '}}' ELSE '' END
@@ -190,7 +198,7 @@ def pages_table(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
     import hashlib
     import os
 
-    key = hashlib.md5(f"{sf_dir}|{rep}|v4".encode()).hexdigest()[:12]
+    key = hashlib.md5(f"{sf_dir}|{rep}|v5".encode()).hexdigest()[:12]
     path = f"/tmp/sagan_pages_cache/{key}"
     marker = f"{path}/_SUCCESS"
     if not os.path.exists(marker):

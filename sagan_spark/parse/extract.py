@@ -55,6 +55,14 @@ def with_shared_extracts(df: DataFrame, text: str = "text") -> DataFrame:
     return (
         df.withColumn("ips", F.regexp_extract_all(t, F.lit(IP_SCAN_RE), 0))
         .withColumn("port_x", F.nullif(F.regexp_extract(t, PORT_RE, 1), F.lit("")).cast("int"))
+        # second port occurrence → dport ([U] src/parsers/port.c scans
+        # all ports; the first is sport, the next dport)
+        .withColumn(
+            "port2_x",
+            F.try_element_at(
+                F.regexp_extract_all(t, F.lit(PORT_RE), 1), F.lit(2)
+            ).cast("int"),
+        )
         .withColumn("proto_x", F.nullif(F.regexp_extract(t, PROTO_RE, 1), F.lit("")))
         .withColumn("md5_x", F.nullif(F.regexp_extract(t, HASH_RES["md5"], 0), F.lit("")))
         .withColumn("sha1_x", F.nullif(F.regexp_extract(t, HASH_RES["sha1"], 0), F.lit("")))
@@ -70,6 +78,7 @@ def shared_extracts_sql(text: str = "text") -> str:
     return (
         f"regexp_extract_all({text}, '{IP_SCAN_RE}') AS ips, "
         f"TRY_CAST(nullif(regexp_extract({text}, '{PORT_RE}', 1), '') AS INTEGER) AS port_x, "
+        f"TRY_CAST(list_extract(regexp_extract_all({text}, '{PORT_RE}', 1), 2) AS INTEGER) AS port2_x, "
         f"nullif(regexp_extract({text}, '{PROTO_RE}', 1), '') AS proto_x, "
         f"nullif(regexp_extract({text}, '{HASH_RES['md5']}'), '') AS md5_x, "
         f"nullif(regexp_extract({text}, '{HASH_RES['sha1']}'), '') AS sha1_x, "
@@ -148,6 +157,9 @@ def apply_rule_extraction(hits: DataFrame, cfg: DataFrame, proto_map: DataFrame)
     port = F.when(F.col("want_port"), F.coalesce("port_x", "default_src_port")).otherwise(
         F.col("default_src_port")
     )
+    dst_port = F.when(
+        F.col("want_port"), F.coalesce("port2_x", "default_dst_port")
+    ).otherwise(F.col("default_dst_port"))
     proto = F.coalesce(
         F.when(F.col("want_proto"), F.col("proto_x")).when(
             F.col("want_proto_program"), F.col("pp_proto")
@@ -163,6 +175,7 @@ def apply_rule_extraction(hits: DataFrame, cfg: DataFrame, proto_map: DataFrame)
         j.withColumn("src_ip", src_ip)
         .withColumn("dst_ip", dst_ip)
         .withColumn("port", port)
+        .withColumn("dst_port", dst_port)
         .withColumn("proto", proto)
         .withColumn("hash", hsh)
     )
@@ -199,6 +212,8 @@ SELECT m.*,
   CASE WHEN cfg.dst_n IS NOT NULL THEN list_extract(m.ips, cfg.dst_n) END AS dst_ip,
   CASE WHEN cfg.want_port THEN coalesce(m.port_x, cfg.default_src_port)
        ELSE cfg.default_src_port END AS port,
+  CASE WHEN cfg.want_port THEN coalesce(m.port2_x, cfg.default_dst_port)
+       ELSE cfg.default_dst_port END AS dst_port,
   coalesce(CASE WHEN cfg.want_proto THEN m.proto_x
                 WHEN cfg.want_proto_program THEN pp.proto END,
            cfg.default_proto) AS proto,

@@ -115,6 +115,7 @@ class Pipeline:
         "src_ip",
         "dst_ip",
         "port",
+        "dst_port",
         "proto",
         "hash",
         "src_cc",
@@ -163,6 +164,7 @@ class Pipeline:
             "src_ip",
             "dst_ip",
             "port",
+            "dst_port",
             "proto",
             "hash",
             "src_cc",

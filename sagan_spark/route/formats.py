@@ -172,7 +172,9 @@ def unified2_hex(routed: DataFrame) -> DataFrame:
         # extraction regex admits 5 digits), and lpad would silently
         # truncate 5 hex digits to 4 — mask into range explicitly
         h(F.pmod(F.coalesce(F.col("port"), z), F.lit(65536)), 4),
-        h(z, 4),  # dport_icode
+        # dport_icode: second extracted port / default_dst_port (r4;
+        # [U] output-plugins/unified2.c carries both u16 ports)
+        h(F.pmod(F.coalesce(F.col("dst_port"), z), F.lit(65536)), 4),
         h(proto_code, 2),  # protocol (u8)
         h(z, 2),  # impact_flag
         h(z, 2),  # impact
@@ -203,7 +205,7 @@ def unified2_hex_sql() -> str:
         h(f"coalesce({ip_to_long_sql('src_ip')}, 0)", 8),
         h(f"coalesce({ip_to_long_sql('dst_ip')}, 0)", 8),
         h("coalesce(port, 0) % 65536", 4),  # u16 mask, twin of the engine's pmod
-        h("0", 4),
+        h("coalesce(dst_port, 0) % 65536", 4),
         h(proto, 2),
         h("0", 2),
         h("0", 2),

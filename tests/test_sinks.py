@@ -41,3 +41,35 @@ def test_eve_json_parses(spark):
         assert ev["event_type"] == "alert"
         assert ev["alert"]["signature_id"] >= 5000001
         assert "url" in ev and "timestamp" in ev
+
+
+def test_unified2_dual_port_populated(spark):
+    """The unified2 record's sport_itype AND dport_icode u16 fields are
+    both live (r4; [U] output-plugins/unified2.c carries both): rules
+    with parse_port on dual-port messages fill dport from the second
+    `port NNNN` occurrence, single-port messages fall back to
+    default_dst_port (NULL → 0000)."""
+    from pyspark.sql import functions as F
+
+    from sagan_spark.route.formats import unified2_hex
+
+    pipe = Pipeline(spark)
+    pages = pages_table(spark, SF_DIR, rep=2)
+    routed = pipe.routed(pages)
+    recs = unified2_hex(routed)
+    # record layout: 13 u32 fields (8 hex chars each) precede the port
+    # pair → sport_itype at 1-based char 105, dport_icode at 109
+    dports = recs.select(
+        F.substring("record_hex", 109, 4).alias("dport")
+    )
+    n_nonzero = dports.where(F.col("dport") != "0000").count()
+    n_zero = dports.where(F.col("dport") == "0000").count()
+    assert n_nonzero > 0, "no record carries a dport — dual-port path dead"
+    assert n_zero > 0, "every record carries a dport — default path dead"
+    # engine column agrees with the rendered field
+    sample = (
+        routed.where(F.col("dst_port").isNotNull())
+        .select("dst_port")
+        .first()
+    )
+    assert sample is not None and 0 < sample["dst_port"] < 65536 * 2
