@@ -94,6 +94,13 @@ def _q_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_features(pages_table(spark, sf_dir, rep=QUERY_REP))
 
 
+def _q_media_hdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from sagan_spark.datapipe.mediahdr import header_roundtrip
+    from sagan_spark.datapipe.text import load_documents
+
+    return header_roundtrip(load_documents(spark, sf_dir))
+
+
 def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dedup_exact": _q_exact,
@@ -113,10 +120,12 @@ def datapipe_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": _q_quality,
         "text_fingerprints": _q_fp,
         "multimodal_media_meta": _q_media,
+        "multimodal_header_roundtrip": _q_media_hdr,
     }
 
 
 def datapipe_oracles() -> dict[str, str]:
+    from sagan_spark.datapipe.mediahdr import header_roundtrip_sql
     from sagan_spark.datapipe.multimodal import media_features_sql
     from sagan_spark.pages import pages_with
 
@@ -142,4 +151,5 @@ def datapipe_oracles() -> dict[str, str]:
         "text_quality_scores": text.quality_scores_sql(),
         "text_fingerprints": text.fingerprints_sql(),
         "multimodal_media_meta": pages_with(rep=QUERY_REP) + "\n" + media_features_sql(),
+        "multimodal_header_roundtrip": header_roundtrip_sql(),
     }
