@@ -196,9 +196,21 @@ def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame
         tests, schema="sid long, name string, track string, test_op string"
     )
 
+    # NARROW sweep rows (r4 session 2): tester rows carry only
+    # (url, sid) through the window sort, and survivors are joined back
+    # to the staged tester scan with a LEFT SEMI on (url, sid) — unique
+    # per alert row, uniformly distributed, so the join-back cannot
+    # skew.  Rationale: the sweep's hot (name, key) group lands in ONE
+    # task whose CPU is proportional to row width × group length; a
+    # 4-core event-log profile showed that straggler task AT the stage
+    # wall (11.7 s) while every other core idled.  Carrying the full
+    # 17-column payload struct (the r3 form) made the hot sort ~3×
+    # wider than it needs to be; the semi join-back is linear and
+    # shuffles on unskewed keys.  (This is NOT the r3 melt revisited:
+    # that was a time-range join producing O(sets×testers) rows per
+    # key; this is an equi semi-join on unique keys.)
     event_src = source(writer_sids)
     tester_src = source(tester_sids)
-    payload_cols = tester_src.columns
     events = bit_events(event_src, writes_df).select(
         F.col("name").alias("bname"),
         F.col("key").alias("bkey"),
@@ -212,6 +224,7 @@ def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame
             F.col("expire").alias("eexpire"),
         ).alias("bev"),
         F.lit(None).cast("string").alias("test_op"),
+        F.lit(None).cast("long").alias("tsid"),
     )
 
     testers = (
@@ -227,11 +240,8 @@ def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame
             .cast("struct<eepoch: long, esid: long, eop: string, eexpire: int>")
             .alias("bev"),
             F.col("test_op"),
-            F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+            F.col("sid").alias("tsid"),
         )
-    )
-    events = events.withColumn(
-        "payload", F.lit(None).cast(testers.schema["payload"].dataType)
     )
 
     stream = events.unionByName(testers)
@@ -253,10 +263,11 @@ def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame
         )
     )
     ok = F.when(F.col("test_op") == "isset", isset).otherwise(~isset)
-    passed = (
+    passed_keys = (
         latest.where((F.col("kind") == 1) & ok)
-        .select("payload.*")
+        .select("url", F.col("tsid").alias("sid"))
     )
+    passed = tester_src.join(passed_keys, ["url", "sid"], "leftsemi")
     return rest.unionByName(passed)
 
 
@@ -293,18 +304,23 @@ def _apply_count_tests(
     Sets with expire ≤ 0 can never be counted ((eepoch ≤ t) ∧
     (t < eepoch) is empty) and are dropped from both streams.
 
-    Stage economy (the flagship's 2→8-core efficiency pays for every
-    extra stage): tester rows carry their full payload struct through
-    the sweep (same trick as the isset path), and a set row emits its
-    optional expiry row via one explode — so the whole operator is two
-    scans of the staged base, ONE window shuffle, and ONE aggregation
-    over tester rows (ALL-tests-pass via min over the payload group).
-    No join-backs.  The DuckDB oracle keeps the join+filter formulation
-    as an independent cross-check."""
+    Stage economy: tester rows ride the sweep as NARROW (url, sid)
+    keys (r4 session 2 — a full-payload carry made the hot key group's
+    single sort task ~3× wider than needed and that straggler task WAS
+    the stage wall in a 4-core profile), a set row emits its optional
+    expiry row via one explode, ALL-tests-pass aggregates min(ok) over
+    the scalar (url, sid) group, and survivors LEFT-SEMI join back to
+    the staged tester scan on that unique, unskewed pair.  The DuckDB
+    oracle keeps the join+filter formulation as an independent
+    cross-check."""
     cdf = spark.createDataFrame(
         counts, schema="sid long, name string, track string, cmp string, cval int"
     )
-    payload_cols = tester_src.columns
+    # NARROW sweep rows (r4 session 2, same rationale as the isset
+    # sweep): testers ride as (surl=url, tsid=sid) only; survivors semi-
+    # join back to the staged tester scan on the unique, unskewed
+    # (url, sid) pair.  The ALL-tests aggregation groups on those two
+    # scalar keys instead of the full 17-column payload struct.
     tester_rows = tester_src.join(F.broadcast(cdf), "sid", "inner").select(
         F.col("name").alias("cname"),
         track_key_col("track").alias("ckey"),
@@ -315,7 +331,7 @@ def _apply_count_tests(
         F.lit(0).alias("delta"),
         "cmp",
         "cval",
-        F.struct(*[F.col(c) for c in payload_cols]).alias("payload"),
+        F.col("sid").alias("tsid"),
     )
     sets = (
         bit_events(event_src, writes_df)
@@ -360,7 +376,7 @@ def _apply_count_tests(
             F.col("e.delta").alias("delta"),
             F.lit(None).cast("string").alias("cmp"),
             F.lit(None).cast("int").alias("cval"),
-            F.lit(None).cast(tester_rows.schema["payload"].dataType).alias("payload"),
+            F.lit(None).cast("long").alias("tsid"),
         )
     )
     stream = event_rows.unionByName(tester_rows)
@@ -399,14 +415,15 @@ def _apply_count_tests(
         .when(F.col("cmp") == "lt", F.col("_n") < F.col("cval"))
         .otherwise(F.col("_n") == F.col("cval"))
     )
-    return (
+    passed_keys = (
         withn.withColumn("_ok", ok)
         .where(F.col("k1") == 1)
-        .groupBy("payload")
+        .groupBy("surl", "tsid")
         .agg(F.min(F.col("_ok").cast("int")).alias("_all_ok"))
         .where(F.col("_all_ok") == 1)
-        .select("payload.*")
+        .select(F.col("surl").alias("url"), F.col("tsid").alias("sid"))
     )
+    return tester_src.join(passed_keys, ["url", "sid"], "leftsemi")
 
 
 # last plan `_apply_count_tests` chose ("single" | "chunked") — observable
