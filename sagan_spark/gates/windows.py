@@ -203,6 +203,26 @@ def split_window_gates(
         df = stage_frame(df, "pregate")
     rest = df.where(~F.col("sid").isin(gated_sids))
     df = df.where(F.col("sid").isin(gated_sids))
+    # NARROW window rows (r4 session 2, same shape as the bit sweeps):
+    # the keep-flag computation needs only the keys, the clock and the
+    # gate config — riding the full alert row through the (sid, key)
+    # exchange + RANGE sorts pays width for nothing, and the hot Zipf
+    # (sid, domain) groups sort in ONE task whose CPU is width × rows.
+    # Survivors LEFT SEMI join back to the staged scan on (url, sid) —
+    # unique per alert row, uniformly distributed, skew-free.
+    wide = df
+    df = df.select(
+        "sid",
+        "url",
+        "warc_epoch",
+        "after_key",
+        "th_key",
+        "after_seconds",
+        "after_count",
+        "th_type",
+        "th_seconds",
+        "th_count",
+    )
 
     after_secs = sorted({r.after.seconds for r in rules if r.after})
     keep = F.lit(True)
@@ -254,7 +274,10 @@ def split_window_gates(
         ).otherwise(F.lit(True))
 
     # window functions can't live in a WHERE clause — project then filter
-    gated = df.withColumn("_keep", keep).where(F.col("_keep")).drop("_keep")
+    passed_keys = (
+        df.withColumn("_keep", keep).where(F.col("_keep")).select("url", "sid")
+    )
+    gated = wide.join(passed_keys, ["url", "sid"], "leftsemi")
     return gated, rest, set(gated_sids)
 
 
