@@ -364,6 +364,16 @@ def trained_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
     return cents
 
 
+# trained-centroid memo: (analyzed-plan semantic hash, iters, strides) →
+# collected centroid rows.  Production IVF trains OFFLINE once and
+# serves the frozen centroids to every query; retraining per ivf_topk
+# call (the pre-cache behavior) re-ran the Lloyd jobs on each of a
+# session's repeated queries for identical input.  Keyed on the
+# ANALYZED plan's semantic hash so a different source path / filter
+# retrains; values are 16 tiny rows, never evicted.
+_CENTROID_CACHE: dict[tuple, list] = {}
+
+
 def _materialized_centroids(
     emb: DataFrame, iters: int = KMEANS_ITERS
 ) -> DataFrame:
@@ -373,11 +383,28 @@ def _materialized_centroids(
     16-row local relation, so the corpus-side assignment stays a pure
     projection with NO trace of the training subtree (plan-pinned by
     tests/test_plan_health.py)."""
-    rows = sorted(
-        trained_centroids(emb, iters).collect(), key=lambda r: r["cid"]
-    )
+    key = None
+    try:
+        key = (
+            emb._jdf.queryExecution().analyzed().semanticHash(),
+            iters,
+            TRAIN_STRIDE,
+            CENTROID_STRIDE,
+        )
+    except Exception:
+        pass  # py4j surface changed — train fresh, correctness unaffected
+    if key is None or key not in _CENTROID_CACHE:
+        rows = sorted(
+            trained_centroids(emb, iters).collect(), key=lambda r: r["cid"]
+        )
+        pairs = [(r["cid"], r["cemb"]) for r in rows]
+        if key is None:
+            return emb.sparkSession.createDataFrame(
+                pairs, schema="cid long, cemb array<double>"
+            )
+        _CENTROID_CACHE[key] = pairs
     return emb.sparkSession.createDataFrame(
-        [(r["cid"], r["cemb"]) for r in rows], schema="cid long, cemb array<double>"
+        _CENTROID_CACHE[key], schema="cid long, cemb array<double>"
     )
 
 
