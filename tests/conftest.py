@@ -19,13 +19,25 @@ def spark():
     s.stop()
 
 
+_DUCK_CONS: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
-    """DuckDB connection with the same views the driver registers."""
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
-        )
+    """DuckDB connection with the same views the driver registers.
+
+    ONE memoized connection per sf_dir: the driver-loop simulation runs
+    ~48 oracle queries, several with recursive CTEs / all-pairs joins —
+    a fresh connection per query leaks each one's buffer pool for the
+    rest of the session (observed: C++ bad_alloc in DuckDB mid-suite
+    after ~a dozen heavy oracles)."""
+    con = _DUCK_CONS.get(sf_dir)
+    if con is None:
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+            )
+        _DUCK_CONS[sf_dir] = con
     return con
 
 
