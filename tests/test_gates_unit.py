@@ -107,6 +107,33 @@ def test_xbit_key_isolation(spark):
     assert _kept_epochs(out, 12) == []  # different key, bit not set
 
 
+SET2_RULE = Rule(sid=16, xbits=(XbitOp(op="set", name="bit2", track="by_domain", expire=100),))
+MULTI_RULE = Rule(
+    sid=15,
+    xbits=(
+        XbitOp(op="isset", name="bit", track="by_domain"),
+        XbitOp(op="isnotset", name="bit2", track="by_domain"),
+    ),
+)
+
+
+def test_xbit_multi_test_requires_all(spark):
+    """A rule carrying SEVERAL bit tests alerts iff EVERY test passes
+    (conjunctive, [U] src/xbit.c), and emits exactly ONE row — not one
+    per passing test (ADVICE r4)."""
+    rules = [SET_RULE, SET2_RULE, MULTI_RULE]
+    rows = (
+        _rows(10, [0])     # set 'bit'  (expire 100)
+        + _rows(16, [50])  # set 'bit2' (expire 100)
+        + _rows(15, [10, 60, 150])  # isset(bit) AND isnotset(bit2)
+    )
+    out = apply_bit_tests(_frame(spark, rows), rules, spark)
+    # t=10: bit set, bit2 clear → both pass.  t=60: bit2 set → isnotset
+    # fails → dropped even though isset passes.  t=150: bit expired.
+    assert _kept_epochs(out, 15) == [10]
+    assert out.where(F.col("sid") == 15).count() == 1
+
+
 COUNT_RULE = Rule(
     sid=14, xbits=(XbitOp(op="count", name="bit", track="by_domain", cmp="gt", value=1),)
 )
