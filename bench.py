@@ -7,42 +7,50 @@ Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1):
     the sandbox proxy for N vs 4N executors (BASELINE.md protocol);
     scaling_efficiency = throughput(4N) / (4 × throughput(N)).
   * headline datapipe queries (MinHash-LSH dedup, bucketed ANN,
-    fingerprints, multimodal metadata) at local[4N].
+    fingerprints, multimodal metadata) at local[cpus].
 
-Methodology (r4; history: r3 hardened the r2 protocol with subprocess
-isolation, equal reps, first-rep discard, round-median statistics and
-PAIRED rounds — see BASELINE.md — but still reported the BEST paired
-round and retried only on a miss, a max-order statistic with an
-asymmetric stopping rule, both biased and both flagged by the r3
-review):
+Artifact discipline (r5 — BENCH_r04 was rc=124/parsed:null because the
+one print() sat after a worst-case-hour schedule; VERDICT r4 item 1):
+  * a HARD total wall budget (env SPARK_GRAFT_BENCH_BUDGET_S, default
+    28 min) gates every optional stage — the schedule provably fits:
+    the two must-run stages (full-parallelism cell + one paired
+    scaling round) cost ~15 min, and each later stage runs only if its
+    measured-cost estimate fits the remaining budget;
+  * the partial artifact is FLUSHED to BENCH_PARTIAL.json after every
+    completed stage, and the final JSON line is printed from whatever
+    was measured;
+  * SIGTERM/SIGINT print the partial JSON line before dying, so even
+    an external kill ships numbers.
+
+Methodology (r4, unchanged — statistics rationale audited in r3/r4):
   * each flagship cell runs in its OWN subprocess — JVM options (GC,
     heap) genuinely apply per cell and no JIT/GC/codegen state leaks
     between core counts;
-  * EQUAL reps per cell; the FIRST rep of every cell is discarded
-    (C2 JIT + codegen warmup), the MEDIAN of the rest is the cell
-    statistic;
+  * EQUAL reps per cell within a round; the FIRST rep of every cell is
+    discarded (C2 JIT + codegen warmup), the MEDIAN of the rest is the
+    cell statistic;
   * cells are pinned to the HIGHEST cpu ids (cpu 0 takes IRQs and
-    host daemons — a 2-core cell sharing it is pure noise);
+    host daemons — a small cell sharing it is pure noise);
   * a round = an N-core and a 4N-core cell back-to-back (they share
     the host's ~10-min interference drift epoch, so the per-round
     ratio cancels it); the HEADLINE pair is 1→4 cores — the pair
     least affected by this VM's single-JVM thread pathology (in the
     host's loaded mode even 8 threads is inside the band; interleaved
     build-A/B evidence in BASELINE.md "r4 session 2") — with 2→8
-    measured and shipped alongside for continuity;
+    measured and shipped alongside for continuity when budget allows;
   * hypervisor steal (/proc/stat) is measured around each cell; a round
     is STEAL-CLEAN iff both cells saw steal < 0.3% — a selection
     criterion fixed BEFORE seeing the efficiency, so conditioning on
     it does not bias the outcome variable;
-  * rounds run until ≥2 steal-clean rounds are captured (min 2, max 5
-    rounds, ~35-min budget) — the stopping rule looks only at
-    cleanliness, never at the efficiency value;
+  * rounds run until ≥2 steal-clean rounds are captured (min 2, max 3
+    rounds), budget permitting — the stopping rule looks only at
+    cleanliness and the clock, never at the efficiency value;
   * the HEADLINE efficiency is the MEDIAN over steal-clean rounds
     (over all rounds if none were clean, with a loud warning
     attributing the conditions); best round, pooled stat and every
     raw wall ship alongside for audit.
 Input is sized via SPARK_GRAFT_REP (default 64 → 320k pages at sf0.1)
-so the local[4N] wall is ≳30s and fixed costs amortize.
+so the local[4] wall is ≳30s and fixed costs amortize.
 Fairness: identical input/ruleset/code, shuffle partitions
 proportional to cores, AQE on everywhere.
 """
@@ -51,6 +59,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import subprocess
 import sys
 import time
@@ -62,20 +71,73 @@ cores, rep, sf_dir, reps = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], int(
 from sagan_spark.pages import pages_table
 from sagan_spark.pipeline import Pipeline
 from sagan_spark.session import build_session
+from sagan_spark.gates.windows import cleanup_staged
 spark = build_session(f"bench_c{cores}", master=f"local[{cores}]",
                       shuffle_partitions=cores * 2)
 pages = pages_table(spark, sf_dir, rep=rep)
 n = pages.count()
 pipe = Pipeline(spark)
-walls = []
+walls, builds = [], []
 for _ in range(reps):
     spark.catalog.clearCache()
     t0 = time.time()
-    pipe.sink_counts(pages).collect()
+    # plan build is INSIDE the timed region: sink_counts() triggers the
+    # eager staging barrier + the flexcount stats probe, i.e. real work
+    # a fresh job pays.  Rebuilt per rep — a reused DataFrame would
+    # re-read rep 1's staged snapshot and skip the parse/match stage.
+    df = pipe.sink_counts(pages)
+    t1 = time.time()
+    df.collect()
     walls.append(round(time.time() - t0, 3))
+    builds.append(round(t1 - t0, 3))
+    cleanup_staged()  # free this rep's tmpfs snapshots (nothing is live)
 spark.stop()
-print("@@BENCH@@" + json.dumps({"pages": n, "walls": walls}))
+print("@@BENCH@@" + json.dumps({"pages": n, "walls": walls, "builds": builds}))
 """
+
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+PARTIAL_PATH = os.path.join(REPO_DIR, "BENCH_PARTIAL.json")
+CLEAN_STEAL = 0.3
+
+# the artifact under construction — every stage mutates it, every stage
+# boundary flushes it, and signals/normal exit print it exactly once
+RESULT: dict = {
+    "metric": "routed events/sec (parse→enrich→route→aggregate)",
+    "value": None,
+    "unit": "events/sec",
+    "queries": {},
+    "stages_done": [],
+    "stages_skipped": [],
+}
+_EMITTED = False
+
+
+def _flush_partial() -> None:
+    tmp = PARTIAL_PATH + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(RESULT, fh, ensure_ascii=False, indent=1)
+    os.replace(tmp, PARTIAL_PATH)
+
+
+def _emit() -> None:
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    print(json.dumps(RESULT, ensure_ascii=False), flush=True)
+
+
+def _on_signal(signum, frame) -> None:
+    RESULT["aborted_by_signal"] = signum
+    RESULT.setdefault("stages_skipped", []).append(
+        f"killed by signal {signum} mid-stage — artifact holds every completed stage"
+    )
+    try:
+        _flush_partial()
+    except Exception:
+        pass
+    _emit()
+    os._exit(128 + signum)
 
 
 def _steal_jiffies() -> tuple[int, int]:
@@ -90,16 +152,19 @@ def _steal_jiffies() -> tuple[int, int]:
     return steal, sum(vals)
 
 
-def flagship_cell(cores: int, sf_dir: str, rep: int, reps: int = 5) -> tuple[list[float], int]:
+def flagship_cell(
+    cores: int, sf_dir: str, rep: int, reps: int = 5
+) -> tuple[list[float], int, list[float]]:
     """One subprocess-isolated measurement cell.  Returns the
-    POST-WARMUP walls (first rep dropped) plus the input row count.
+    POST-WARMUP walls (first rep dropped), the input row count, and the
+    per-rep plan-build seconds (serial-cost forensics).
 
     taskset pins the whole process tree (JVM task/GC threads + forked
     Python UDF workers) to `cores` CPUs, so an N-core cell really uses
     N cores — without it the Python workers borrow extra cores and the
     N-vs-4N comparison undercounts the baseline.  The pin targets the
     HIGHEST cpu ids: cpu 0 services IRQs and host daemons, and a
-    2-core cell sharing it measures the host, not the engine."""
+    small cell sharing it measures the host, not the engine."""
     ncpu = os.cpu_count() or cores
     lo, hi = max(0, ncpu - cores), ncpu - 1
     p = subprocess.run(
@@ -108,12 +173,12 @@ def flagship_cell(cores: int, sf_dir: str, rep: int, reps: int = 5) -> tuple[lis
         capture_output=True,
         text=True,
         timeout=3600,
-        cwd=os.path.dirname(os.path.abspath(__file__)),
+        cwd=REPO_DIR,
     )
     for line in p.stdout.splitlines():
         if line.startswith("@@BENCH@@"):
             r = json.loads(line[len("@@BENCH@@"):])
-            return r["walls"][1:], r["pages"]
+            return r["walls"][1:], r["pages"], r["builds"]
     raise RuntimeError(f"flagship cell cores={cores} failed:\n{p.stderr[-2000:]}")
 
 
@@ -124,9 +189,9 @@ def _median(xs: list[float]) -> float:
 
 
 def _time(fn, reps: int = 3, spark=None) -> float:
-    # 3 reps: the first rep of a fresh session pays codegen + C2 JIT
-    # compilation of the big generated methods (measured 23s → 7s → 6s
-    # for the minhash-LSH plan); best-of-3 reports steady state
+    # first rep of a fresh session pays codegen + C2 JIT compilation of
+    # the big generated methods (measured 23s → 7s → 6s for the
+    # minhash-LSH plan); best-of-N reports steady state
     best = float("inf")
     for _ in range(reps):
         if spark is not None:
@@ -137,74 +202,45 @@ def _time(fn, reps: int = 3, spark=None) -> float:
     return round(best, 3)
 
 
-CLEAN_STEAL = 0.3
-
-
-def measure_pair(
-    n_small: int,
-    n_big: int,
-    sf_dir: str,
-    rep: int,
-    *,
-    max_rounds: int,
-    min_rounds: int,
-    want_clean: int,
-    time_budget: float,
-    reps_round0: int,
-    reps_later: int,
-    label: str,
+def run_pair_round(
+    n_small: int, n_big: int, sf_dir: str, rep: int, reps: int
 ) -> dict:
-    """PAIRED measurement rounds for one (N, 4N) core pair (module
-    docstring has the statistics rationale).  One round = an N-core and
-    a 4N-core cell back-to-back — they share the host's interference
-    drift epoch, so the per-round ratio cancels drift.  A round is
-    STEAL-CLEAN iff hypervisor steal stayed under CLEAN_STEAL% during
-    both its cells — a criterion fixed before the efficiency is
-    computed.  Rounds run until ≥want_clean clean rounds or the
-    round/time budget is spent; the stopping rule never reads the
-    efficiency.  Headline = MEDIAN over clean rounds."""
+    """ONE paired round: N-core cell then 4N-core cell back-to-back,
+    steal sampled around each.  Returns the round's raw material."""
+    s0, j0 = _steal_jiffies()
+    ws, n_pages, bs = flagship_cell(n_small, sf_dir, rep, reps=reps)
+    s1, j1 = _steal_jiffies()
+    wb, _, bb = flagship_cell(n_big, sf_dir, rep, reps=reps)
+    s2, j2 = _steal_jiffies()
+    return {
+        "walls_n": ws,
+        "walls_4n": wb,
+        "builds_n": bs,
+        "builds_4n": bb,
+        "n_pages": n_pages,
+        "steal_pct": [
+            round(100.0 * (s1 - s0) / max(1, j1 - j0), 2),
+            round(100.0 * (s2 - s1) / max(1, j2 - j1), 2),
+        ],
+    }
+
+
+def summarize_pair(n_small: int, n_big: int, rounds: list[dict]) -> dict:
+    """Fold raw paired rounds into the shipped scaling block (median
+    over steal-clean rounds; loud warnings otherwise)."""
+    round_effs, round_cells, round_steal = [], [], []
     walls_small: list[float] = []
     walls_big: list[float] = []
-    round_effs: list[float] = []
-    round_cells: list[tuple[float, float]] = []
-    n_pages = 0
-    round_steal: list[list[float]] = []
-    t_start = time.time()
-    for rnd in range(max_rounds):
-        reps = reps_round0 if rnd == 0 else reps_later
-        s0, j0 = _steal_jiffies()
-        ws, n_pages = flagship_cell(n_small, sf_dir, rep, reps=reps)
-        s1, j1 = _steal_jiffies()
-        wb, _ = flagship_cell(n_big, sf_dir, rep, reps=reps)
-        s2, j2 = _steal_jiffies()
-        round_steal.append(
-            [
-                round(100.0 * (s1 - s0) / max(1, j1 - j0), 2),
-                round(100.0 * (s2 - s1) / max(1, j2 - j1), 2),
-            ]
-        )
-        walls_small += ws
-        walls_big += wb
-        ts, tb = _median(ws), _median(wb)
+    for r in rounds:
+        ts, tb = _median(r["walls_n"]), _median(r["walls_4n"])
         round_cells.append((ts, tb))
-        eff_r = round(ts / (4.0 * tb), 3)
-        round_effs.append(eff_r)
-        clean_rounds = [i for i, s in enumerate(round_steal) if max(s) < CLEAN_STEAL]
-        print(
-            f"# scaling[{label}] round {rnd}: eff={eff_r} steal%={round_steal[-1]} "
-            f"clean_rounds={clean_rounds}",
-            file=sys.stderr,
-        )
-        if rnd + 1 >= min_rounds and len(clean_rounds) >= want_clean:
-            break
-        if time.time() - t_start > time_budget and rnd + 1 >= min_rounds:
-            print(f"# scaling[{label}]: time budget spent", file=sys.stderr)
-            break
+        round_effs.append(round(ts / (4.0 * tb), 3))
+        round_steal.append(r["steal_pct"])
+        walls_small += r["walls_n"]
+        walls_big += r["walls_4n"]
     clean_rounds = [i for i, s in enumerate(round_steal) if max(s) < CLEAN_STEAL]
     pick = clean_rounds if clean_rounds else list(range(len(round_effs)))
     eff = _median([round_effs[i] for i in pick])
-    # headline cell walls: the picked round whose efficiency is the
-    # (lower) median — deterministic representative, not an extreme
     med_round = min(pick, key=lambda i: (abs(round_effs[i] - eff), round_effs[i]))
     t_small, t_big = round_cells[med_round]
     warning = None
@@ -228,7 +264,7 @@ def measure_pair(
         "4n_cores": n_big,
         "t_small": t_small,
         "t_big": t_big,
-        "n_pages": n_pages,
+        "n_pages": rounds[0]["n_pages"],
         "efficiency": eff,
         "efficiency_best_round": max(round_effs),
         "efficiency_pooled": round(_median(walls_small) / (4.0 * _median(walls_big)), 3),
@@ -237,149 +273,234 @@ def measure_pair(
         "steal_clean_rounds": clean_rounds,
         "walls_n": walls_small,
         "walls_4n": walls_big,
+        "builds_n": [b for r in rounds for b in r["builds_n"]],
+        "builds_4n": [b for r in rounds for b in r["builds_4n"]],
         "warning": warning,
     }
 
 
 def main() -> None:
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGINT, _on_signal)
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     rep = int(os.environ.get("SPARK_GRAFT_REP", "64"))
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", str(28 * 60)))
     sf = float(sf_dir.rstrip("/").split("sf")[-1])
+    t_start = time.time()
+    deadline = t_start + budget
 
-    queries: dict[str, float] = {}
+    def remaining() -> float:
+        return deadline - time.time()
 
-    # North-rule N-vs-4N pair: 1 vs 4 pinned cores (headline), 2 vs 8
-    # as the secondary continuity pair.  Why 1→4 (r4 session-2 change,
-    # evidence in BASELINE.md "r4 session 2"): on a real cluster N→4N
-    # adds MACHINES; the faithful single-VM proxy is the pair least
-    # affected by this VM's single-JVM thread pathology.  Pure-CPU
-    # multiprocessing is linear to 32 cores here, but ANY JVM/Spark
-    # workload anti-scales beyond ~8-16 threads on a quiet host, and a
-    # same-minutes interleaved build A/B showed the threshold drops
-    # BELOW 8 threads in the host's loaded mode (identical builds, r3
-    # and r4, both measured 0.46-0.65 at 2→8 while 1→4 held 0.80 in
-    # the same epoch).  The 1→4 pair preserves the 4× factor and stays
-    # under the pathology band in both host modes; 2→8 and 8→cpus are
-    # still measured and shipped for audit/continuity.
-    primary = measure_pair(
-        1, 4, sf_dir, rep,
-        max_rounds=3, min_rounds=2, want_clean=2, time_budget=32 * 60.0,
-        reps_round0=3, reps_later=3, label="1to4",
-    )
-    secondary = measure_pair(
-        2, 8, sf_dir, rep,
-        max_rounds=1, min_rounds=1, want_clean=1, time_budget=10 * 60.0,
-        reps_round0=4, reps_later=3, label="2to8",
-    )
-    n_pages = primary["n_pages"]
-    t_small, t_big = primary["t_small"], primary["t_big"]
-    n_small, n_big = 1, 4
-    eff = primary["efficiency"]
-    scaling_warning = primary["warning"]
-    if scaling_warning:
-        print(f"# SCALING WARNING: {scaling_warning}", file=sys.stderr)
+    def stage_done(name: str) -> None:
+        RESULT["stages_done"].append(
+            {"stage": name, "at_s": round(time.time() - t_start, 1)}
+        )
+        _flush_partial()
+        print(f"# stage done: {name} (t+{time.time() - t_start:.0f}s, "
+              f"{remaining():.0f}s left)", file=sys.stderr)
 
-    walls_full, _ = flagship_cell(cpus, sf_dir, rep, reps=3)
+    def skip(name: str, why: str) -> None:
+        RESULT["stages_skipped"].append(f"{name}: {why}")
+        _flush_partial()
+        print(f"# stage SKIPPED: {name} — {why}", file=sys.stderr)
+
+    queries: dict[str, float] = RESULT["queries"]
+    RESULT.update({"sf": sf, "rep": rep, "budget_s": budget})
+
+    # ---- stage 1 (must-run): full-parallelism flagship cell ---------------
+    # the BASELINE.json headline metric; cheap (~2-3 min), runs first so
+    # even a brutally early kill ships a throughput number
+    walls_full, n_pages, _ = flagship_cell(cpus, sf_dir, rep, reps=3)
     t_full = _median(walls_full)
-    queries[f"flagship_local{n_small}"] = t_small
-    queries[f"flagship_local{n_big}"] = t_big
-    queries[f"flagship_local{secondary['4n_cores']}"] = secondary["t_big"]
-    queries[f"flagship_local{cpus}"] = t_full
-    thr_small, thr_big = n_pages / t_small, n_pages / t_big
     thr_full = n_pages / t_full
-    thr_8 = n_pages / secondary["t_big"]
-    eff_ceiling = round(thr_full / ((cpus / secondary["4n_cores"]) * thr_8), 3)
+    RESULT["value"] = round(thr_full, 1)
+    RESULT["pages"] = n_pages
+    queries[f"flagship_local{cpus}"] = t_full
+    stage_done(f"flagship_local{cpus}")
 
-    # datapipe headliners at full parallelism (in-process: these are
-    # plan-shape benchmarks, not the scaling measurement)
-    from sagan_spark.datapipe import dedup, similarity, text
-    from sagan_spark.datapipe.corpus import load_corpus
-    from sagan_spark.session import build_session
+    # ---- stage 2 (must-run): first paired 1→4 scaling round ---------------
+    # Why 1→4 (r4 session-2 change, evidence in BASELINE.md): on a real
+    # cluster N→4N adds MACHINES; the faithful single-VM proxy is the
+    # pair least affected by this VM's single-JVM thread pathology.
+    # Pure-CPU multiprocessing is linear to 32 cores here, but ANY
+    # JVM/Spark workload anti-scales beyond ~8-16 threads on a quiet
+    # host, and a same-minutes interleaved build A/B showed the
+    # threshold drops BELOW 8 threads in the host's loaded mode.  The
+    # 1→4 pair preserves the 4× factor and stays under the pathology
+    # band in both host modes; 2→8 ships below for continuity when the
+    # budget allows.
+    n_small, n_big = 1, 4
+    rounds: list[dict] = []
+    t_round0 = time.time()
+    rounds.append(run_pair_round(n_small, n_big, sf_dir, rep, reps=3))
+    round_cost = time.time() - t_round0
 
-    spark = build_session("bench_dp", master=f"local[{cpus}]", shuffle_partitions=cpus * 2)
-    try:
-        corpus = load_corpus(spark, sf_dir)
-        queries["dedup_minhash_lsh"] = _time(
-            lambda: dedup.lsh_candidate_pairs(
-                dedup.minhash_signatures(corpus)
-            ).count()
+    def publish_scaling() -> dict:
+        p = summarize_pair(n_small, n_big, rounds)
+        RESULT["scaling"] = {
+            "n_cores": n_small,
+            "4n_cores": n_big,
+            "throughput_n": round(p["n_pages"] / p["t_small"], 1),
+            "throughput_4n": round(p["n_pages"] / p["t_big"], 1),
+            "efficiency": p["efficiency"],
+            "efficiency_best_round": p["efficiency_best_round"],
+            "efficiency_pooled": p["efficiency_pooled"],
+            "round_efficiencies": p["round_efficiencies"],
+            "round_steal_pct": p["round_steal_pct"],
+            "steal_clean_rounds": p["steal_clean_rounds"],
+            "protocol": (
+                "headline pair = 1->4 cores (the executors-are-machines proxy "
+                "least affected by this VM's single-JVM thread pathology — "
+                "interleaved build A/B evidence in BASELINE.md; 2->8 shipped "
+                "alongside for continuity when budget allows); median over "
+                "STEAL-CLEAN paired rounds (clean = both cells <0.3% hypervisor "
+                "steal, a criterion independent of the outcome; rounds run "
+                "until >=2 clean within the wall budget, never conditioned on "
+                "the efficiency value; back-to-back cells share the "
+                "interference epoch; round-median of post-warmup walls, equal "
+                "reps, subprocess+taskset isolated on high cpu ids); best "
+                "round + pooled stat + all raw walls shipped for audit"
+            ),
+            "walls_n": p["walls_n"],
+            "walls_4n": p["walls_4n"],
+            "plan_build_s_n": p["builds_n"],
+            "plan_build_s_4n": p["builds_4n"],
+            "warning": p["warning"],
+        }
+        queries[f"flagship_local{n_small}"] = p["t_small"]
+        queries[f"flagship_local{n_big}"] = p["t_big"]
+        return p
+
+    publish_scaling()
+    stage_done("scaling_round_1")
+
+    # ---- stage 3 (budget-gated): more paired rounds until ≥2 clean --------
+    # reps=2 on later rounds (warmup + 1 measured): the round statistic
+    # is the PAIR ratio, and a second clean round buys more than a
+    # second rep inside one round (host drift moves between rounds, not
+    # within a cell — memory-fact scaling-bench-host-drift)
+    later_cost = round_cost * 2.0 / 3.0 + 30  # reps 3→2, plus slack
+    max_rounds, want_clean = 3, 2
+    while len(rounds) < max_rounds:
+        clean = [
+            i for i, r in enumerate(rounds) if max(r["steal_pct"]) < CLEAN_STEAL
+        ]
+        if len(rounds) >= 2 and len(clean) >= want_clean:
+            break
+        if remaining() < later_cost + 240:  # reserve for datapipe + emit
+            skip(
+                f"scaling_round_{len(rounds) + 1}",
+                f"~{later_cost:.0f}s round does not fit the {remaining():.0f}s "
+                "remaining budget (reserving 240s for datapipe + emission)",
+            )
+            break
+        rounds.append(run_pair_round(n_small, n_big, sf_dir, rep, reps=2))
+        publish_scaling()
+        stage_done(f"scaling_round_{len(rounds)}")
+    prim = publish_scaling()
+    if prim["warning"]:
+        print(f"# SCALING WARNING: {prim['warning']}", file=sys.stderr)
+
+    # ---- stage 4 (budget-gated): secondary 2→8 continuity pair ------------
+    est_2to8 = round_cost * 0.75
+    if remaining() > est_2to8 + 240:
+        sec_rounds = [run_pair_round(2, 8, sf_dir, rep, reps=3)]
+        sec = summarize_pair(2, 8, sec_rounds)
+        RESULT["scaling"]["secondary_2_to_8"] = {
+            k: sec[k]
+            for k in (
+                "n_cores", "4n_cores", "efficiency", "round_efficiencies",
+                "round_steal_pct", "walls_n", "walls_4n", "warning",
+            )
+        }
+        queries["flagship_local8"] = sec["t_big"]
+        thr_8 = sec["n_pages"] / sec["t_big"]
+        RESULT["scaling"]["substrate_ceiling_8_to_32"] = {
+            "throughput_8": round(thr_8, 1),
+            "throughput_32": round(thr_full, 1),
+            "efficiency": round(thr_full / ((cpus / 8) * thr_8), 3),
+            "note": (
+                "JVM workloads anti-scale past ~8-16 threads on this VM "
+                "regardless of engine code (and past ~4-8 in the host's "
+                "loaded mode); see BASELINE.md"
+            ),
+        }
+        stage_done("secondary_2_to_8")
+    else:
+        skip(
+            "secondary_2_to_8",
+            f"~{est_2to8:.0f}s pair does not fit the {remaining():.0f}s "
+            "remaining budget",
         )
-        emb = similarity.load_embeddings(spark, sf_dir)
-        queries["ann_lsh_bucketed"] = _time(lambda: similarity.lsh_topk(emb).count())
-        queries["ann_lsh_multiprobe"] = _time(
-            lambda: similarity.lsh_multiprobe_topk(emb).count()
+
+    # ---- stage 5 (budget-gated): datapipe headliners at full parallelism --
+    # in-process (plan-shape benchmarks, not the scaling measurement)
+    if remaining() > 180:
+        from sagan_spark.datapipe import dedup, similarity, text
+        from sagan_spark.datapipe.corpus import load_corpus
+        from sagan_spark.session import build_session
+
+        spark = build_session(
+            "bench_dp", master=f"local[{cpus}]", shuffle_partitions=cpus * 2
         )
-        queries["ann_ivf_topk"] = _time(lambda: similarity.ivf_topk(emb).count())
-        docs = text.load_documents(spark, sf_dir)
-        queries["text_fingerprints"] = _time(lambda: text.fingerprints(docs).count())
+        try:
+            corpus = load_corpus(spark, sf_dir)
+            dp: list[tuple[str, object]] = [
+                ("dedup_minhash_lsh", lambda: dedup.lsh_candidate_pairs(
+                    dedup.minhash_signatures(corpus)).count()),
+            ]
+            emb = similarity.load_embeddings(spark, sf_dir)
+            dp += [
+                ("ann_lsh_bucketed", lambda: similarity.lsh_topk(emb).count()),
+                ("ann_lsh_multiprobe", lambda: similarity.lsh_multiprobe_topk(emb).count()),
+                ("ann_ivf_topk", lambda: similarity.ivf_topk(emb).count()),
+            ]
+            docs = text.load_documents(spark, sf_dir)
+            dp.append(("text_fingerprints", lambda: text.fingerprints(docs).count()))
 
-        from sagan_spark.datapipe.multimodal import media_features
-        from sagan_spark.pages import pages_table
-        from sagan_spark.rules.compiler import CompiledRules
-        from sagan_spark.rules.synth import synth_rules
+            from sagan_spark.datapipe.multimodal import media_features
+            from sagan_spark.pages import pages_table
 
-        pages = pages_table(spark, sf_dir, rep=rep)
-        queries["multimodal_media_meta"] = _time(lambda: media_features(pages).count())
+            pages = pages_table(spark, sf_dir, rep=rep)
+            dp.append(("multimodal_media_meta", lambda: media_features(pages).count()))
+            for name, fn in dp:
+                if remaining() < 75:
+                    skip(name, "datapipe budget spent")
+                    continue
+                queries[name] = _time(fn, reps=2)
+                _flush_partial()
+            stage_done("datapipe")
 
-        # rules-at-scale: 2k-rule match stage (per-rule cost vs the
-        # 30-rule flagship is the codegen-health indicator)
-        from pyspark.sql import functions as F
+            # rules-at-scale: 2k-rule match stage (per-rule cost vs the
+            # 34-rule flagship is the codegen-health indicator)
+            if remaining() > 120:
+                from pyspark.sql import functions as F
 
-        comp2k = CompiledRules(list(synth_rules(2000)))
-        small_pages = pages_table(spark, sf_dir, rep=4)
-        queries["match_2k_rules_rep4"] = _time(
-            lambda: comp2k.with_sids(small_pages)
-            .select(F.sum(F.size("sids")))
-            .collect()
-        )
-    finally:
-        spark.stop()
+                from sagan_spark.rules.compiler import CompiledRules
+                from sagan_spark.rules.synth import synth_rules
 
-    print(
-        json.dumps(
-            {
-                "metric": "routed events/sec (parse→enrich→route→aggregate)",
-                "value": round(thr_full, 1),
-                "unit": "events/sec",
-                "queries": queries,
-                "sf": sf,
-                "pages": n_pages,
-                "rep": rep,
-                "scaling": {
-                    "n_cores": n_small,
-                    "4n_cores": n_big,
-                    "throughput_n": round(thr_small, 1),
-                    "throughput_4n": round(thr_big, 1),
-                    "efficiency": eff,
-                    "efficiency_best_round": primary["efficiency_best_round"],
-                    "efficiency_pooled": primary["efficiency_pooled"],
-                    "round_efficiencies": primary["round_efficiencies"],
-                    "round_steal_pct": primary["round_steal_pct"],
-                    "steal_clean_rounds": primary["steal_clean_rounds"],
-                    "protocol": "headline pair = 1->4 cores (the executors-are-machines proxy least affected by this VM's single-JVM thread pathology — same-minutes interleaved build A/B evidence in BASELINE.md 'r4 session 2'; 2->8 shipped below for continuity); median over STEAL-CLEAN paired rounds (clean = both cells <0.3% hypervisor steal, a criterion independent of the outcome; rounds run until >=2 clean, never conditioned on the efficiency value; back-to-back cells share the interference epoch; round-median of post-warmup walls, equal reps, subprocess+taskset isolated on high cpu ids); best round + pooled stat + all raw walls shipped for audit",
-                    "walls_n": primary["walls_n"],
-                    "walls_4n": primary["walls_4n"],
-                    "warning": scaling_warning,
-                    "secondary_2_to_8": {
-                        k: secondary[k]
-                        for k in (
-                            "n_cores", "4n_cores", "efficiency",
-                            "round_efficiencies", "round_steal_pct",
-                            "walls_n", "walls_4n",
-                        )
-                    },
-                    "substrate_ceiling_8_to_32": {
-                        "throughput_8": round(thr_8, 1),
-                        "throughput_32": round(thr_full, 1),
-                        "efficiency": eff_ceiling,
-                        "note": "JVM workloads anti-scale past ~8-16 threads on this VM regardless of engine code (and past ~4-8 in the host's loaded mode); see BASELINE.md",
-                    },
-                },
-            },
-            ensure_ascii=False,
-        )
-    )
+                comp2k = CompiledRules(list(synth_rules(2000)))
+                small_pages = pages_table(spark, sf_dir, rep=4)
+                queries["match_2k_rules_rep4"] = _time(
+                    lambda: comp2k.with_sids(small_pages)
+                    .select(F.sum(F.size("sids")))
+                    .collect(),
+                    reps=2,
+                )
+                stage_done("match_2k_rules")
+            else:
+                skip("match_2k_rules", "budget spent")
+        finally:
+            spark.stop()
+    else:
+        skip("datapipe", f"{remaining():.0f}s remaining < 180s floor")
+
+    RESULT["elapsed_s"] = round(time.time() - t_start, 1)
+    _flush_partial()
+    _emit()
 
 
 if __name__ == "__main__":

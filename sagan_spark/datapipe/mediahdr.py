@@ -73,6 +73,13 @@ def parse_jpeg(b: bytes) -> MediaHeader | None:
     while off + 4 <= len(b):
         if b[off] != 0xFF:
             return None  # desynced — corrupt stream
+        # runs of 0xFF are legal fill/padding between segments (ITU
+        # T.81 §B.1.1.2): skip them, else the real marker byte would be
+        # read as a segment length (ADVICE r4)
+        while off + 4 <= len(b) and b[off + 1] == 0xFF:
+            off += 1
+        if off + 4 > len(b):
+            return None
         marker = b[off + 1]
         if marker == 0xD9:  # EOI before any SOF
             return None

@@ -371,7 +371,21 @@ def trained_centroids(emb: DataFrame, iters: int = KMEANS_ITERS) -> DataFrame:
 # session's repeated queries for identical input.  Keyed on the
 # ANALYZED plan's semantic hash so a different source path / filter
 # retrains; values are 16 tiny rows, never evicted.
+#
+# ASSUMPTION (ADVICE r4): a path's CONTENTS are immutable for the
+# process lifetime — two reads of the same path hash identically even
+# after an overwrite, so a process that regenerates data in place would
+# be served stale centroids.  That matches the engine's data-lake
+# contract (immutable snapshot dirs; new data ⇒ new path), and every
+# test writes fixtures to fresh tmp_path dirs.  Code that DOES rewrite
+# a path in place must call clear_centroid_cache() after the rewrite.
 _CENTROID_CACHE: dict[tuple, list] = {}
+
+
+def clear_centroid_cache() -> None:
+    """Drop every memoized centroid set — the invalidation hook for the
+    rewrote-the-same-path case the semantic-hash key cannot see."""
+    _CENTROID_CACHE.clear()
 
 
 def _materialized_centroids(

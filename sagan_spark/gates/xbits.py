@@ -53,6 +53,21 @@ def bit_count_rows(rules: list[Rule]) -> list[tuple]:
     ]
 
 
+def _reject_mixed_bit_families(tests: list[tuple], counts: list[tuple]) -> None:
+    """A rule carrying BOTH count tests and isset/isnotset tests would
+    be routed through two independent gate branches here (each with its
+    own ALL-pass aggregate), double-emitting rows that pass both and
+    mis-emitting rows that pass only one.  No fixture or synth rule
+    mixes the families ([U] upstream rules don't either); reject loudly
+    in engine, oracle and streaming rather than silently diverge."""
+    mixed = sorted({t[0] for t in tests} & {c[0] for c in counts})
+    if mixed:
+        raise ValueError(
+            f"rules mixing flexbits count tests with xbits isset/isnotset "
+            f"tests are not supported (sids {mixed})"
+        )
+
+
 def bit_events(df: DataFrame, writes_df: DataFrame) -> DataFrame:
     """Gated rows of writer rules → bit-event table."""
     ev = df.join(F.broadcast(writes_df), "sid", "inner")
@@ -177,6 +192,7 @@ def _bit_tests_core(source, rules: list[Rule], spark: SparkSession) -> DataFrame
     row_number formulation as an independent cross-check."""
     writes, tests = bit_ops_rows(rules)
     counts = bit_count_rows(rules)
+    _reject_mixed_bit_families(tests, counts)
     writes_df = spark.createDataFrame(
         writes, schema="sid long, name string, track string, op string, expire int"
     )
@@ -527,6 +543,7 @@ def bit_tests_sql(rules: list[Rule], rel: str = "wgated") -> str:
     testers UNION passing flexbits-count testers)."""
     writes, tests = bit_ops_rows(rules)
     counts = bit_count_rows(rules)
+    _reject_mixed_bit_families(tests, counts)
     if not tests and not counts:
         return f"SELECT * FROM {rel}"
     wv, tv = bit_values_sql(rules)

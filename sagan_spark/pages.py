@@ -187,14 +187,35 @@ def pages_with(rep: int = REP) -> str:
     return f"WITH pages AS (\n{pages_cte(rep)}\n)"
 
 
-def pages_table(spark: SparkSession, sf_dir: str, rep: int = REP) -> DataFrame:
+def pages_table(
+    spark: SparkSession,
+    sf_dir: str,
+    rep: int = REP,
+    fmt: str = "parquet",
+    iceberg_table: str | None = None,
+) -> DataFrame:
     """Materialized pages table (process-cached parquet under /tmp).
 
-    Production reads pages from an Iceberg table; the synthesized
-    frame's expression tree would otherwise be re-inlined into every
-    downstream operator (each rule condition references `text`), which
-    both bloats codegen and re-executes the synthesis — materializing
-    once is exactly what the real scan gives us for free."""
+    Production reads pages from an Iceberg table — pass
+    ``fmt="iceberg"`` and the catalog table identifier to take that
+    path (``spark.read.format("iceberg").load(tbl)``; Catalyst gets
+    hours(warc_ts) partition pruning + column pruning from the Iceberg
+    scan).  The sandbox ships no Iceberg runtime jar, so the default
+    stays the parquet twin with the same 64-way warc_epoch range
+    layout; tests/test_pages_parity.py skips the iceberg leg when the
+    DataSource is absent and exercises it when present.
+
+    The synthesized frame's expression tree would otherwise be
+    re-inlined into every downstream operator (each rule condition
+    references `text`), which both bloats codegen and re-executes the
+    synthesis — materializing once is exactly what the real scan gives
+    us for free."""
+    if fmt == "iceberg":
+        if not iceberg_table:
+            raise ValueError("fmt='iceberg' requires iceberg_table=<catalog.db.tbl>")
+        return spark.read.format("iceberg").load(iceberg_table)
+    if fmt != "parquet":
+        raise ValueError(f"unsupported pages format: {fmt!r}")
     import hashlib
     import os
 

@@ -79,43 +79,53 @@ def _apply(
     )
 
 
-BIT_STATE_SCHEMA = "eepoch long, eop string, eexpire long, expiries array<long>"
+BIT_STATE_SCHEMA = "lat array<string>, exps array<string>"
 
 # sentinel expiry for `set` events with no expire: effectively never
 _NEVER = 1 << 62
 
+# field separator inside state/spec strings — cannot appear in bit names
+_SEP = "\x1f"
+
 
 def _bit_fn():
-    """Per-(name, key) streaming bit store ([U] src/xbit.c latest-bit
-    slot + src/flexbit.c counter form — the mmap slot becomes group
-    state).  State carries BOTH views of the event history:
+    """Per-group streaming bit store ([U] src/xbit.c latest-bit slot +
+    src/flexbit.c counter form — the mmap slot becomes group state).
+    One group = one (bit name, key) pair, or one (multi-test rule, key)
+    composite (r5 — multi-name rules previously raised).  State carries
+    BOTH views of the event history PER BIT NAME:
 
-      * (eepoch, eop, eexpire) — the LATEST bit event, for
-        isset/isnotset testers (set + strictly-inside expiry — same
-        boundary as gates/xbits.py);
-      * ``expiries`` — the expiry min-multiset of UNEXPIRED ``set``
-        events, for ``count`` testers: counter value at tester time t =
-        number of entries > t (an entry expiring exactly at t is dead,
-        matching the batch sweep's expiry-before-tester ordering;
-        ``unset`` does not decrement — documented counter semantics).
+      * ``lat`` — the LATEST bit event per name
+        ("name␟eepoch␟eop␟eexpire"), for isset/isnotset testers
+        (set + strictly-inside expiry — same boundary as
+        gates/xbits.py);
+      * ``exps`` — the expiry min-multiset of UNEXPIRED ``set`` events
+        per name ("name␟expiry"), for ``count`` testers: counter value
+        at tester time t = number of entries > t (an entry expiring
+        exactly at t is dead, matching the batch sweep's expiry-before-
+        tester ordering; ``unset`` does not decrement — documented
+        counter semantics).
 
-    Rows are processed in the batch path's total order (warc_epoch,
-    url, kind, sid): writer rows (kind=0) update the state — same-url
-    set-before-tester matches the batch (epoch, k0, surl, k1) order —
-    tester rows (kind=1) evaluate against it."""
+    Tester rows carry ALL of their rule's test specs in ``cmps``
+    ("name␟isset|name␟count␟gt␟2"); the row is emitted iff EVERY spec
+    passes — the streaming twin of the batch min(_ok) ALL-pass
+    aggregates.  Rows are processed in the batch path's total order
+    (warc_epoch, url, kind, sid): writer rows (kind=0) update the state
+    — same-url set-before-tester matches the batch (epoch, k0, surl,
+    k1) order — tester rows (kind=1) evaluate against it."""
     import pandas as pd
 
     def fn(key, pdf_iter, state):
-        expiries: list[int] = []
+        lat: dict[str, tuple[int, str, int | None]] = {}
+        exps: dict[str, list[int]] = {}
         if state.exists:
-            eepoch, eop, eexpire, stored = state.get()
-            expiries = sorted(stored or [])
-            if eepoch < 0:
-                eepoch, eop, eexpire = None, None, None
-            elif eexpire < 0:
-                eexpire = None
-        else:
-            eepoch, eop, eexpire = None, None, None
+            lat_raw, exp_raw = state.get()
+            for s in lat_raw or []:
+                nm, ep, op, ex = s.split(_SEP)
+                lat[nm] = (int(ep), op, None if ex == "-" else int(ex))
+            for s in exp_raw or []:
+                nm, x = s.split(_SEP)
+                exps.setdefault(nm, []).append(int(x))
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(
             ["warc_epoch", "url", "kind", "sid"], ignore_index=True
@@ -124,43 +134,54 @@ def _bit_fn():
         for r in rows.itertuples():
             t = int(r.warc_epoch)
             if r.kind == 0:
-                eepoch, eop = t, r.op
-                eexpire = None if pd.isna(r.expire) else int(r.expire)
+                nm = r.ename
+                ex = None if pd.isna(r.expire) else int(r.expire)
+                lat[nm] = (t, r.op, ex)
                 keep.append(False)
                 if r.op == "set":
                     # expire <= 0 can never be counted (dead on arrival)
-                    if eexpire is None:
-                        expiries.append(_NEVER)
-                    elif eexpire > 0:
-                        expiries.append(t + eexpire)
-            elif r.test_op == "count":
-                expiries = [x for x in expiries if x > t]
-                n = len(expiries)
+                    if ex is None:
+                        exps.setdefault(nm, []).append(_NEVER)
+                    elif ex > 0:
+                        exps.setdefault(nm, []).append(t + ex)
+            else:
                 ok = True
                 for spec in str(r.cmps).split("|"):
-                    cmp_, val = spec.split(":")
-                    v = int(val)
-                    ok = ok and (
-                        n > v if cmp_ == "gt" else n < v if cmp_ == "lt" else n == v
-                    )
+                    parts = spec.split(_SEP)
+                    nm, op = parts[0], parts[1]
+                    if op == "count":
+                        cur = [x for x in exps.get(nm, []) if x > t]
+                        exps[nm] = cur
+                        n = len(cur)
+                        cmp_, v = parts[2], int(parts[3])
+                        ok = ok and (
+                            n > v if cmp_ == "gt" else n < v if cmp_ == "lt" else n == v
+                        )
+                    else:
+                        le = lat.get(nm)
+                        isset = (
+                            le is not None
+                            and le[1] == "set"
+                            and (le[2] is None or t < le[0] + le[2])
+                        )
+                        ok = ok and (isset if op == "isset" else not isset)
                 keep.append(ok)
-            else:
-                isset = (
-                    eop == "set"
-                    and eepoch is not None
-                    and (eexpire is None or t < eepoch + eexpire)
-                )
-                keep.append(isset if r.test_op == "isset" else not isset)
         # entries at-or-before the last processed event time are dead for
         # every future tester (in-order arrival contract) — pruning here
         # bounds the state by the sets inside the max expire window
         t_last = int(rows["warc_epoch"].iloc[-1])
         state.update(
             (
-                -1 if eepoch is None else eepoch,
-                eop or "",
-                -1 if eexpire is None else eexpire,
-                sorted(x for x in expiries if x > t_last),
+                sorted(
+                    f"{nm}{_SEP}{ep}{_SEP}{op}{_SEP}{'-' if ex is None else ex}"
+                    for nm, (ep, op, ex) in lat.items()
+                ),
+                sorted(
+                    f"{nm}{_SEP}{x}"
+                    for nm, xs in exps.items()
+                    for x in xs
+                    if x > t_last
+                ),
             )
         )
         out = rows[pd.Series(keep)]
@@ -170,94 +191,125 @@ def _bit_fn():
 
 
 def xbits_gate_stream(hits: DataFrame, rules) -> DataFrame:
-    """Streaming xbits/flexbits set/unset/isset/isnotset/**count**
-    (SURVEY §2.6 A4-A5 on the streaming path; r4 closes the last gap —
-    ``count`` testers previously raised NotImplementedError here).
+    """Streaming xbits/flexbits set/unset/isset/isnotset/count
+    (SURVEY §2.6 A4-A5 on the streaming path; r5 closes the last gap —
+    multi-NAME test rules previously raised NotImplementedError).
 
-    Writer- and tester-rule rows are unioned into one (name, key)
-    stream; ``applyInPandasWithState`` holds the latest bit event AND
-    the unexpired-set expiry multiset per group ([U] src/xbit.c,
-    src/flexbit.c counter form).  A rule's multiple count tests ride in
-    one ``cmps`` spec string ("gt:2|lt:5" — ALL must pass).  Agreement
-    with the batch join-back (gates/xbits.py) is exact under in-order
-    arrival (availableNow drain — pinned by
+    Writer- and tester-rule rows are unioned into one keyed stream;
+    ``applyInPandasWithState`` holds the latest bit event AND the
+    unexpired-set expiry multiset per bit name ([U] src/xbit.c,
+    src/flexbit.c counter form).  Grouping:
+
+      * a rule whose bit tests all read ONE name groups by that
+        (name, key) — writers feed the group once;
+      * a rule whose tests span SEVERAL names gets a COMPOSITE group
+        ("\\x00multi:<sid>", key): its tester rows AND a duplicate of
+        every relevant writer's rows ride that group, whose state holds
+        per-name slots — ALL tests must share one track (differing
+        tracks would need a cross-group join the state store doesn't
+        have; rejected loudly).
+
+    A tester row carries ALL of its rule's test specs in ``cmps`` and
+    is emitted iff EVERY spec passes — the streaming twin of the batch
+    ALL-pass aggregates (gates/xbits.py).  Rules mixing count tests
+    with isset/isnotset tests are rejected in BOTH engines (see
+    _reject_mixed_bit_families).  Agreement with the batch join-back is
+    exact under in-order arrival (availableNow drain — pinned by
     tests/test_streaming_gates.py)."""
     from functools import reduce
 
-    from sagan_spark.gates.xbits import bit_count_rows, bit_ops_rows
+    from sagan_spark.gates.xbits import (
+        _reject_mixed_bit_families,
+        bit_count_rows,
+        bit_ops_rows,
+    )
 
     writes, tests = bit_ops_rows(rules)
     counts = bit_count_rows(rules)
+    _reject_mixed_bit_families(tests, counts)
     if not tests and not counts:
         return hits.where(F.lit(False)).select(
             "url", "domain", "warc_epoch", "sid"
         )
-    branches = []
-    for sid, name, track, op, expire in writes:
-        branches.append(
-            hits.where(F.col("sid") == sid).select(
-                F.lit(name).alias("bname"),
-                gate_key_col(track).alias("bkey"),
-                "warc_epoch",
-                "url",
-                "domain",
-                "sid",
-                F.lit(0).alias("kind"),
-                F.lit(op).alias("op"),
-                F.lit(expire).cast("long").alias("expire"),
-                F.lit(None).cast("string").alias("test_op"),
-                F.lit(None).cast("string").alias("cmps"),
-            )
-        )
+
+    # per-sid test specs: (name, track, spec-string)
+    per_sid: dict[int, list[tuple[str, str, str]]] = {}
     for sid, name, track, op in tests:
-        branches.append(
-            hits.where(F.col("sid") == sid).select(
-                F.lit(name).alias("bname"),
-                gate_key_col(track).alias("bkey"),
-                "warc_epoch",
-                "url",
-                "domain",
-                "sid",
-                F.lit(1).alias("kind"),
-                F.lit(None).cast("string").alias("op"),
-                F.lit(None).cast("long").alias("expire"),
-                F.lit(op).alias("test_op"),
-                F.lit(None).cast("string").alias("cmps"),
-            )
-        )
-    # one tester row per (rule, name, key) event; a rule's count tests
-    # on the SAME bit name fold into one cmps spec (ALL must pass)
-    by_rule_name: dict[tuple[int, str, str], list[str]] = {}
+        per_sid.setdefault(sid, []).append((name, track, f"{name}{_SEP}{op}"))
     for sid, name, track, cmp_, val in counts:
-        by_rule_name.setdefault((sid, name, track), []).append(f"{cmp_}:{val}")
-    per_sid: dict[int, set[tuple[str, str]]] = {}
-    for sid, name, track in by_rule_name:
-        per_sid.setdefault(sid, set()).add((name, track))
-    multi = sorted(s for s, groups in per_sid.items() if len(groups) > 1)
-    if multi:
-        # ALL-tests-pass across DIFFERENT (name, key) state groups needs
-        # a cross-group join the streaming store doesn't have — batch
-        # handles it (groupBy payload); reject loudly, don't mis-emit
-        raise NotImplementedError(
-            f"streaming flexbits count across multiple bit names "
-            f"(sids {multi}) is batch-only"
+        per_sid.setdefault(sid, []).append(
+            (name, track, f"{name}{_SEP}count{_SEP}{cmp_}{_SEP}{val}")
         )
-    for (sid, name, track), specs in by_rule_name.items():
-        branches.append(
-            hits.where(F.col("sid") == sid).select(
-                F.lit(name).alias("bname"),
-                gate_key_col(track).alias("bkey"),
-                "warc_epoch",
-                "url",
-                "domain",
-                "sid",
-                F.lit(1).alias("kind"),
-                F.lit(None).cast("string").alias("op"),
-                F.lit(None).cast("long").alias("expire"),
-                F.lit("count").alias("test_op"),
-                F.lit("|".join(specs)).alias("cmps"),
-            )
+
+    def writer_branch(group: str, sid: int, name: str, track: str, op: str, expire):
+        return hits.where(F.col("sid") == sid).select(
+            F.lit(group).alias("bname"),
+            gate_key_col(track).alias("bkey"),
+            "warc_epoch",
+            "url",
+            "domain",
+            "sid",
+            F.lit(0).alias("kind"),
+            F.lit(name).alias("ename"),
+            F.lit(op).alias("op"),
+            F.lit(expire).cast("long").alias("expire"),
+            F.lit(None).cast("string").alias("cmps"),
         )
+
+    def tester_branch(group: str, sid: int, track: str, specs: list[str]):
+        return hits.where(F.col("sid") == sid).select(
+            F.lit(group).alias("bname"),
+            gate_key_col(track).alias("bkey"),
+            "warc_epoch",
+            "url",
+            "domain",
+            "sid",
+            F.lit(1).alias("kind"),
+            F.lit(None).cast("string").alias("ename"),
+            F.lit(None).cast("string").alias("op"),
+            F.lit(None).cast("long").alias("expire"),
+            F.lit("|".join(specs)).alias("cmps"),
+        )
+
+    branches = []
+    single_names: set[str] = set()  # names needing plain (name, key) groups
+    composite_names: dict[str, set[str]] = {}  # group id → names it reads
+    for sid, entries in sorted(per_sid.items()):
+        names = {nm for nm, _, _ in entries}
+        tracks = {tr for _, tr, _ in entries}
+        specs = [sp for _, _, sp in entries]
+        if len(names) == 1:
+            nm = next(iter(names))
+            single_names.add(nm)
+            # count tests on one name may still carry several specs —
+            # they fold into one cmps string (ALL must pass); differing
+            # tracks are fine here (one tester row per track)
+            by_track: dict[str, list[str]] = {}
+            for _, tr, sp in entries:
+                by_track.setdefault(tr, []).append(sp)
+            for tr, sps in sorted(by_track.items()):
+                branches.append(tester_branch(nm, sid, tr, sps))
+        else:
+            if len(tracks) > 1:
+                # composite state groups key on ONE track's value; tests
+                # keyed by different tracks would need a cross-group
+                # join the streaming store doesn't have ([U] flexbit.c)
+                raise NotImplementedError(
+                    f"streaming bit tests across multiple names with "
+                    f"DIFFERING tracks (sid {sid}, tracks {sorted(tracks)}) "
+                    "are batch-only"
+                )
+            group = f"\x00multi:{sid}"
+            composite_names[group] = names
+            branches.append(tester_branch(group, sid, next(iter(tracks)), specs))
+
+    for sid, name, track, op, expire in writes:
+        if name in single_names:
+            branches.append(writer_branch(name, sid, name, track, op, expire))
+        for group, names in composite_names.items():
+            if name in names:
+                branches.append(writer_branch(group, sid, name, track, op, expire))
+
     stream = reduce(lambda a, b: a.unionByName(b), branches)
     from pyspark.sql.streaming.state import GroupStateTimeout
 

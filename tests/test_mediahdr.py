@@ -92,6 +92,19 @@ def test_jpeg_skips_restart_markers():
     assert parse_jpeg(patched) == ("jpeg", 64, 32, 1)
 
 
+def test_jpeg_skips_fill_bytes():
+    # runs of 0xFF between segments are legal padding (ITU T.81
+    # §B.1.1.2); without the skip the real marker byte is read as the
+    # segment-length high byte and the walk desyncs (ADVICE r4)
+    raw = make_jpeg(120, 90)
+    for pad in (b"\xff", b"\xff\xff\xff"):
+        patched = raw[:2] + pad + raw[2:]  # before APP0
+        assert parse_jpeg(patched) == ("jpeg", 120, 90, 1)
+        sof_at = raw.index(b"\xff\xc0")
+        patched = raw[:sof_at] + pad + raw[sof_at:]  # right before SOF0
+        assert parse_jpeg(patched) == ("jpeg", 120, 90, 1)
+
+
 def test_gif_frame_walk():
     assert parse_gif(make_gif(10, 20, frames=1)) == ("gif", 10, 20, 1)
     assert parse_gif(make_gif(500, 400, frames=7)) == ("gif", 500, 400, 7)

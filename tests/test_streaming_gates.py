@@ -145,9 +145,63 @@ def test_streaming_flexbits_count_matches_batch(spark, tmp_path):
     assert got == exp and len(exp) > 0
 
 
-def test_streaming_flexbits_count_multi_name_rejected(spark, tmp_path):
-    """ALL-tests-pass across different bit names needs a cross-group
-    join the streaming state store doesn't have — rejected loudly."""
+# multi-NAME count family (r5, closes VERDICT r4 item 4): two setter
+# rules on different bit names + one tester whose count tests read BOTH
+# names — rides a composite ("\x00multi:<sid>", key) state group
+MULTI_NAME_RULES = r"""
+alert syslog any any -> any any (msg:"set mna"; \
+  content:"merge"; flexbits:set,mna,track by_domain,expire 7200; \
+  classtype:web-anomaly; sink:"fast"; sid:6000001;)
+alert syslog any any -> any any (msg:"set mnb"; \
+  content:"sort"; flexbits:set,mnb,track by_domain,expire 7200; \
+  classtype:web-anomaly; sink:"fast"; sid:6000002;)
+alert syslog any any -> any any (msg:"multi-name brute pair"; \
+  content:"window"; \
+  flexbits:count,mna,track by_domain,gt 2; \
+  flexbits:count,mnb,track by_domain,gt 0; \
+  classtype:correlated; sink:"external"; sid:6000003;)
+"""
+
+
+def test_streaming_flexbits_count_multi_name_matches_batch(spark, tmp_path):
+    """A rule carrying TWO count tests on DIFFERENT bit names streams
+    through the composite state group and agrees with the batch
+    ALL-pass sweep (r5 — this case previously raised
+    NotImplementedError; VERDICT r4 item 4)."""
+    from sagan_spark.rules.parser import parse_rules
+
+    rules = parse_rules(MULTI_NAME_RULES)
+    assert len(rules) == 3 and len(rules[2].bit_counts()) == 2
+    pages = pages_table(spark, SF_DIR, rep=2)
+    src = str(tmp_path / "pages_src_mn")
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+
+    hits = streaming_hits(read_pages_stream(spark, src), rules)
+    gated = xbits_gate_stream(hits, rules)
+    q = (
+        gated.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("mncnt_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt_mn"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["url"] for r in spark.table("mncnt_stream").collect()}
+
+    pipe = Pipeline(spark, rules)
+    batch = pipe.gated(spark.read.parquet(src))
+    exp = {
+        r["url"]
+        for r in batch.where(F.col("sid") == 6000003).select("url").collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_streaming_bit_tests_differing_tracks_rejected(spark, tmp_path):
+    """ALL-tests-pass across tests keyed by DIFFERENT tracks needs a
+    cross-group join the streaming state store doesn't have — rejected
+    loudly (batch handles it: per-test key columns + min(_ok))."""
     import pytest
 
     from sagan_spark.rules.model import Rule, XbitOp
@@ -156,7 +210,7 @@ def test_streaming_flexbits_count_multi_name_rejected(spark, tmp_path):
         sid=99,
         xbits=(
             XbitOp(op="count", name="a", track="by_domain", cmp="gt", value=1),
-            XbitOp(op="count", name="b", track="by_domain", cmp="gt", value=1),
+            XbitOp(op="count", name="b", track="by_src", cmp="gt", value=1),
         ),
     )
     pages = pages_table(spark, SF_DIR, rep=1)
@@ -164,4 +218,36 @@ def test_streaming_flexbits_count_multi_name_rejected(spark, tmp_path):
     pages.coalesce(1).write.mode("overwrite").parquet(src)
     hits = streaming_hits(read_pages_stream(spark, src))
     with pytest.raises(NotImplementedError, match="batch-only"):
+        xbits_gate_stream(hits, [r])
+
+
+def test_mixed_bit_families_rejected_everywhere(spark, tmp_path):
+    """A rule mixing count with isset/isnotset tests is rejected in the
+    batch engine, the oracle builder AND the streaming path — the two
+    gate branches would double-emit rows passing both families."""
+    import pytest
+
+    from sagan_spark.gates.xbits import apply_bit_tests, bit_tests_sql
+    from sagan_spark.rules.model import Rule, XbitOp
+
+    r = Rule(
+        sid=98,
+        xbits=(
+            XbitOp(op="count", name="a", track="by_domain", cmp="gt", value=1),
+            XbitOp(op="isset", name="a", track="by_domain"),
+        ),
+    )
+    with pytest.raises(ValueError, match="mixing"):
+        bit_tests_sql([r])
+    df = spark.createDataFrame(
+        [], schema="sid long, url string, domain string, warc_epoch long, "
+        "src_ip string, dst_ip string, source string"
+    )
+    with pytest.raises(ValueError, match="mixing"):
+        apply_bit_tests(df, [r], spark)
+    pages = pages_table(spark, SF_DIR, rep=1)
+    src = str(tmp_path / "pages_src_mixed")
+    pages.coalesce(1).write.mode("overwrite").parquet(src)
+    hits = streaming_hits(read_pages_stream(spark, src))
+    with pytest.raises(ValueError, match="mixing"):
         xbits_gate_stream(hits, [r])
