@@ -455,11 +455,26 @@ def _apply_count_tests(
 LAST_FLEXCOUNT_PLAN: str | None = None
 
 # A (name, key) group beyond this row count escalates to the epoch-
-# chunked two-phase prefix sum.  Default calibrated from the r3 A/B at
-# 320k pages (hot group ~6×10^5 rows: single-window 54 s vs chunked 82 s
-# at 8 cores — the extra shuffle + offset join only pays once a single
-# group outgrows one task's in-memory sort, roughly O(10^7) rows).
-FLEXCOUNT_CHUNK_THRESHOLD = 8_000_000
+# chunked two-phase prefix sum.  r5 calibration (scripts/
+# calibrate_flexcount.py: isolated single-hot-group sweep at 8 pinned
+# cores, interleaved modes, warmup-dropped):
+#
+#   rows/group   single-window   chunked
+#      2×10^5          1.0 s       2.1 s
+#      1×10^6          2.7 s       2.6 s   ← tie
+#      2×10^6          4.5 s       2.2 s
+#      4×10^6         10.2 s       3.7 s
+#      8×10^6         33.4 s       4.9 s
+#     16×10^6         53.1 s       9.2 s
+#
+# The single-task sort degrades super-linearly past ~10^6 rows (sort
+# spill) while chunked stays near-flat.  Threshold 2M rather than the
+# 1M tie point: the r3 FULL-pipeline A/B at 6×10^5 rows showed single
+# clearly faster in context (chunked's extra shuffle competes with
+# concurrent stages), so the default biases to single where the two
+# are close and escalates where chunked wins ≥2×.  (Pre-r5 value was 8M,
+# extrapolated from the 6×10^5 A/B alone.)
+FLEXCOUNT_CHUNK_THRESHOLD = 2_000_000
 FLEXCOUNT_TARGET_CHUNKS = 64
 
 

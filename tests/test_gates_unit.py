@@ -171,3 +171,15 @@ def test_flexbits_count_trigger_flips_on_hot_key(spark, monkeypatch):
     assert _count_kept(spark, monkeypatch, "auto", threshold=3) == expected
     assert xbits.LAST_FLEXCOUNT_PLAN == "chunked"
     assert xbits._pick_flexcount_plan(10**9) == "chunked"
+
+
+def test_flexcount_threshold_is_the_calibrated_value():
+    """Pin the r5-calibrated crossover (scripts/calibrate_flexcount.py:
+    single-window degrades super-linearly past ~10^6 rows/group while
+    chunked stays flat; tie at 1M, chunked 2x at 2M).  The default must
+    flip exactly above 2M rows/group."""
+    from sagan_spark.gates import xbits
+
+    assert xbits.FLEXCOUNT_CHUNK_THRESHOLD == 2_000_000
+    assert xbits._pick_flexcount_plan(2_000_000) == "single"
+    assert xbits._pick_flexcount_plan(2_000_001) == "chunked"
