@@ -183,3 +183,38 @@ def test_flexcount_threshold_is_the_calibrated_value():
     assert xbits.FLEXCOUNT_CHUNK_THRESHOLD == 2_000_000
     assert xbits._pick_flexcount_plan(2_000_000) == "single"
     assert xbits._pick_flexcount_plan(2_000_001) == "chunked"
+
+
+def test_flexcount_probe_memo(spark, monkeypatch):
+    """auto-mode hottest-group probe is memoized per (upstream plan,
+    count specs): a second build over the same input must not re-run
+    the stats job (bench reps / repeated queries re-paid ~1 s of fixed
+    latency per plan build)."""
+    from sagan_spark.gates import xbits
+
+    monkeypatch.setenv("SPARK_GRAFT_FLEXCOUNT_MODE", "auto")
+    xbits.clear_flexcount_probe_cache()
+    frame = _frame(spark, COUNT_ROWS)
+    out1 = _kept_epochs(
+        apply_bit_tests(frame, [SET_RULE, COUNT_RULE], spark), 14
+    )
+    assert len(xbits._FLEXCOUNT_PROBE_CACHE) == 1
+    cached = dict(xbits._FLEXCOUNT_PROBE_CACHE)
+    # poison the cached value: if the second build re-probed, the memo
+    # entry would be overwritten back to the true count; if it read the
+    # memo, the poisoned value forces the chunked plan — observable via
+    # LAST_FLEXCOUNT_PLAN while results stay identical (plan choice
+    # never changes semantics)
+    (key,) = cached
+    xbits._FLEXCOUNT_PROBE_CACHE[key] = 10**9
+    # NOTE: reuse the SAME DataFrame object — a fresh createDataFrame
+    # local relation gets new expression ids and a different semantic
+    # hash (memo miss, re-probe, correct but uncached).  The production
+    # shape (spark.read.parquet of the same path) hashes stably.
+    out2 = _kept_epochs(
+        apply_bit_tests(frame, [SET_RULE, COUNT_RULE], spark), 14
+    )
+    assert xbits.LAST_FLEXCOUNT_PLAN == "chunked"  # memo was read, not re-probed
+    assert out1 == out2 == [15, 105]
+    xbits.clear_flexcount_probe_cache()
+    assert not xbits._FLEXCOUNT_PROBE_CACHE
